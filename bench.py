@@ -1,0 +1,120 @@
+"""Benchmark: flagship pretrain training-step throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "pretrain_segments_per_sec_per_chip", "value": N,
+   "unit": "segments/s/chip", "vs_baseline": R}
+
+The metric is the BASELINE.md north star: frame-caption segments (one
+192x352 frame + one 32-token caption chunk) processed per second per chip by
+a FULL training step — ViT + lang tower + joint encoder forward, all three
+objectives, backward, and the AdamW update (the reference's whole
+model_fn+CrossShardOptimizer pipeline, model/modeling.py:671-757).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so baselines
+are measured: the ratio is against the most recent BENCH_r*.json recorded by
+the driver (previous round), or 1.0 on the first round.
+
+All diagnostics go to stderr; stdout is exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _load_prev_baseline() -> float | None:
+    runs = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                         "BENCH_r*.json")))
+    for path in reversed(runs):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if isinstance(rec, dict) and rec.get("value"):
+                return float(rec["value"])
+        except Exception:
+            continue
+    return None
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship_config, _make_batch
+    from merlot_tpu.models.pretrain import MerlotPretrainModel
+    from merlot_tpu.train.optimizer import AdamWConfig, MerlotAdamW
+    from merlot_tpu.train.train_step import init_train_state, make_train_step
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    cfg = _flagship_config()
+    num_chunks = 16
+    model = MerlotPretrainModel(cfg)
+    optimizer = MerlotAdamW(AdamWConfig(
+        learning_rate=3e-4, num_train_steps=460000, num_warmup_steps=10000,
+        weight_decay_rate=0.1, beta_2=0.98, clip_norm=0.0,
+        use_bfloat16_adam=True,
+        param_overrides=((("attn_ln", "mlp_ln", "final_ln", "embed_norm",
+                           "/gn", "bias", "beta", "gamma"),
+                          {"weight_decay_rate": 0.0}),)))
+
+    value = None
+    for batch_size in (8, 4, 2, 1):
+        try:
+            log(f"trying per-chip batch={batch_size} ({batch_size * num_chunks} segments)")
+            batch = _make_batch(cfg, batch=batch_size, num_chunks=num_chunks)
+            t0 = time.time()
+            params, opt_state = init_train_state(model, optimizer, batch)
+            log(f"  init: {time.time() - t0:.1f}s")
+            step_fn = make_train_step(model, optimizer)
+            key = jax.random.PRNGKey(0)
+
+            t0 = time.time()
+            params, opt_state, metrics = step_fn(params, opt_state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+            log(f"  compile+first step: {time.time() - t0:.1f}s "
+                f"loss={float(metrics['loss']):.3f}")
+
+            # warm
+            params, opt_state, metrics = step_fn(params, opt_state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+
+            n_steps = 8
+            t0 = time.time()
+            for _ in range(n_steps):
+                params, opt_state, metrics = step_fn(params, opt_state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+            dt = time.time() - t0
+            segments = batch_size * num_chunks * n_steps
+            value = segments / dt
+            log(f"  {n_steps} steps in {dt:.2f}s -> {value:.2f} segments/s/chip "
+                f"({dt / n_steps * 1000:.0f} ms/step)")
+            break
+        except Exception as e:  # OOM at this batch -> try smaller
+            log(f"  batch={batch_size} failed: {type(e).__name__}: {str(e)[:300]}")
+            continue
+
+    if value is None:
+        print(json.dumps({"metric": "pretrain_segments_per_sec_per_chip",
+                          "value": 0.0, "unit": "segments/s/chip",
+                          "vs_baseline": 0.0}))
+        sys.exit(1)
+
+    prev = _load_prev_baseline()
+    vs = value / prev if prev else 1.0
+    print(json.dumps({"metric": "pretrain_segments_per_sec_per_chip",
+                      "value": round(value, 3), "unit": "segments/s/chip",
+                      "vs_baseline": round(vs, 3)}))
+
+
+if __name__ == "__main__":
+    main()

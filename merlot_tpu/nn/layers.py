@@ -1,0 +1,157 @@
+"""Small flax building blocks with the reference's numerics.
+
+Mixed-precision contract everywhere (the JAX analogue of the reference's
+``bfloat16_getter``, utils/model_utils.py:572-602): parameters are stored
+fp32 ("master weights") and cast to the compute dtype (bf16 on TPU) at use.
+flax's dtype/param_dtype split expresses this natively.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from merlot_tpu.ops import norms
+
+Dtype = Any
+
+
+def trunc_normal(stddev: float = 0.02):
+    """Truncated-normal initializer matching tf.truncated_normal_initializer."""
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+class DenseTN(nn.Module):
+    """Dense with truncated-normal(0.02) kernel init, fp32 params, bf16 compute."""
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    initializer_range: float = 0.02
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", trunc_normal(self.initializer_range),
+                            (x.shape[-1], self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        if self.use_bias:
+            binit = self.bias_init or nn.initializers.zeros
+            bias = self.param("bias", binit, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics (reference: utils/model_utils.py:113-130)."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (dim,), jnp.float32)
+        return norms.layer_norm(x, gamma, beta, epsilon=self.epsilon)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm(32) with one-pass fp32 statistics (utils/model_utils.py:133-222)."""
+    num_groups: int = 32
+    epsilon: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        return norms.group_norm(x, gamma, beta, num_groups=self.num_groups,
+                                epsilon=self.epsilon)
+
+
+class WSConv(nn.Module):
+    """NHWC conv with optional weight standardization and fixed padding.
+
+    Mirrors conv2d_fixed_padding (reference: utils/vision_transformer.py:30-66):
+    stride>1 uses explicit symmetric padding + VALID; stride 1 uses SAME.
+    The kernel is standardized in fp32 then cast to the compute dtype.
+    """
+    features: int
+    kernel_size: int
+    strides: int = 1
+    weight_standardization: bool = True
+    use_bias: bool = False
+    padding: Optional[str] = None  # override; default per reference rule
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        # tf.variance_scaling_initializer() defaults: scale=1.0, fan_in,
+        # truncated normal — what the reference's convs use.
+        kernel = self.param(
+            "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, k, cin, self.features), jnp.float32)
+        if self.weight_standardization:
+            kernel = norms.standardize_kernel(kernel)
+
+        if self.padding is not None:
+            padding = self.padding
+        elif self.strides > 1:
+            # fixed_padding + VALID (image-size-independent)
+            pad_total = k - 1
+            pad_beg = pad_total // 2
+            pad_end = pad_total - pad_beg
+            x = jnp.pad(x, ((0, 0), (pad_beg, pad_end), (pad_beg, pad_end), (0, 0)))
+            padding = "VALID"
+        else:
+            padding = "SAME"
+
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.strides, self.strides),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _avg_pool_reshape(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Exact window==stride pooling on evenly-divisible dims via reshape+mean.
+
+    This is every pool MERLOT performs (stem 2x2/2, block-group 2x2/2,
+    spatial 2x2/2 on even grids) — far cheaper for XLA than reduce_window
+    and it fuses into neighbouring ops.
+    """
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // window, window, w // window, window, c)
+    return jnp.mean(y, axis=(2, 4))
+
+
+def avg_pool_same(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """tf.nn.avg_pool2d(padding='SAME') on NHWC, with correct edge counts."""
+    _, h, w, _ = x.shape
+    if window == stride and h % window == 0 and w % window == 0:
+        return _avg_pool_reshape(x, window)  # SAME == VALID when divisible
+    ones = jnp.ones(x.shape[1:3], dtype=x.dtype)[None, :, :, None]
+    summed = lax.reduce_window(x, jnp.asarray(0, x.dtype), lax.add,
+                               (1, window, window, 1), (1, stride, stride, 1), "SAME")
+    counts = lax.reduce_window(ones, jnp.asarray(0, x.dtype), lax.add,
+                               (1, window, window, 1), (1, stride, stride, 1), "SAME")
+    return summed / counts
+
+
+def avg_pool_valid(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    _, h, w, _ = x.shape
+    if window == stride and h % window == 0 and w % window == 0:
+        return _avg_pool_reshape(x, window)
+    summed = lax.reduce_window(x, jnp.asarray(0, x.dtype), lax.add,
+                               (1, window, window, 1), (1, stride, stride, 1), "VALID")
+    return summed / jnp.asarray(window * window, x.dtype)

@@ -1,0 +1,150 @@
+"""Pre-LN transformer encoder stack.
+
+Behavioural parity with the reference stack (utils/transformer.py:171-247):
+per layer ``x += attn(LN(x)); x += mlp(LN(x))``, final LN, exact-erf gelu MLP,
+additive ``-1e10`` masking.
+
+TPU-first divergences (deliberate):
+  * activations stay 3-D [B, S, H] — the reference flattens to 2-D "like
+    BERT" to dodge TF1-era TPU reshapes; XLA handles batched matmuls
+    natively, so the flattening would only obscure sharding annotations.
+  * softmax statistics in fp32 (the reference softmaxes in bf16).
+  * attention-prob materialization is opt-in via ``collect``:
+    'none' (fused fast path), 'colsum' (per-key attention mass for
+    attention-guided masking), 'probs' (head-meaned maps for telemetry).
+  * the layer loop is a python loop over scan-free layers (12 layers, traced
+    once) — remat is applied at the layer boundary by the train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from merlot_tpu.nn.layers import DenseTN, LayerNorm
+from merlot_tpu.ops.activations import gelu
+from merlot_tpu.ops.attention import attention_core
+
+
+@dataclass(frozen=True)
+class TransformerHParams:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    initializer_range: float = 0.02
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+
+class SelfAttention(nn.Module):
+    hp: TransformerHParams
+
+    @nn.compact
+    def __call__(self, x_norm: jnp.ndarray, mask: Optional[jnp.ndarray], *,
+                 collect: str = "none", deterministic: bool = True,
+                 attn_backend: str = "auto"):
+        hp = self.hp
+        b, s, h = x_norm.shape
+        d_head = hp.hidden_size // hp.num_heads
+
+        def proj(name):
+            y = DenseTN(hp.hidden_size, dtype=hp.dtype,
+                        initializer_range=hp.initializer_range, name=name)(x_norm)
+            return y.reshape(b, s, hp.num_heads, d_head)
+
+        q, k, v = proj("query"), proj("key"), proj("value")
+
+        drop_rng = None
+        if not deterministic and hp.attention_probs_dropout_prob > 0.0:
+            drop_rng = self.make_rng("dropout")
+
+        ctx, extra = attention_core(
+            q, k, v, mask, collect=collect,
+            dropout_rate=0.0 if deterministic else hp.attention_probs_dropout_prob,
+            dropout_rng=drop_rng, backend=attn_backend)
+
+        out = DenseTN(hp.hidden_size, dtype=hp.dtype,
+                      initializer_range=hp.initializer_range,
+                      name="out_proj")(ctx.reshape(b, s, hp.hidden_size))
+        out = nn.Dropout(hp.hidden_dropout_prob)(out, deterministic=deterministic)
+        return out, extra
+
+
+class MlpBlock(nn.Module):
+    hp: TransformerHParams
+
+    @nn.compact
+    def __call__(self, x_norm: jnp.ndarray, *, deterministic: bool = True):
+        hp = self.hp
+        h0 = DenseTN(hp.intermediate_size, dtype=hp.dtype,
+                     initializer_range=hp.initializer_range, name="intermediate")(x_norm)
+        h0 = gelu(h0)
+        out = DenseTN(hp.hidden_size, dtype=hp.dtype,
+                      initializer_range=hp.initializer_range, name="output")(h0)
+        return nn.Dropout(hp.hidden_dropout_prob)(out, deterministic=deterministic)
+
+
+class TransformerLayer(nn.Module):
+    hp: TransformerHParams
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray], *,
+                 collect: str = "none", deterministic: bool = True,
+                 attn_backend: str = "auto"):
+        attn_out, extra = SelfAttention(self.hp, name="attention")(
+            LayerNorm(name="attn_ln")(x), mask, collect=collect,
+            deterministic=deterministic, attn_backend=attn_backend)
+        x = x + attn_out
+        mlp_out = MlpBlock(self.hp, name="mlp")(
+            LayerNorm(name="mlp_ln")(x), deterministic=deterministic)
+        x = x + mlp_out
+        return x, extra
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of pre-LN layers + final LN.
+
+    Returns dict with:
+      hidden_state [B, S, H] (compute dtype)
+      attn_colsum  [B, S] fp32, summed over layers+heads+queries (collect='colsum')
+      attn_probs   [B, num_layers, S, S] fp32 head-meaned (collect='probs')
+    """
+    hp: TransformerHParams
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray], *,
+                 collect: str = "none", deterministic: bool = True,
+                 attn_backend: str = "auto",
+                 num_layers: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.hp.dtype)
+        if mask is not None and mask.dtype != jnp.float32:
+            mask = mask.astype(jnp.float32)
+
+        colsum = None
+        probs_all = []
+        # num_layers < hp.num_layers runs a prefix of the (shared) stack —
+        # how the lang-only tower shares the joint encoder's weights when
+        # configured shallower (reference: model/modeling.py:361-371).
+        for i in range(num_layers if num_layers is not None else self.hp.num_layers):
+            x, extra = TransformerLayer(self.hp, name=f"layer{i:02d}")(
+                x, mask, collect=collect, deterministic=deterministic,
+                attn_backend=attn_backend)
+            if collect == "colsum":
+                colsum = extra if colsum is None else colsum + extra
+            elif collect == "probs":
+                probs_all.append(extra)
+
+        x = LayerNorm(name="final_ln")(x)
+
+        out: Dict[str, jnp.ndarray] = {"hidden_state": x}
+        if collect == "colsum":
+            out["attn_colsum"] = colsum
+        elif collect == "probs":
+            out["attn_probs"] = jnp.stack(probs_all, axis=1)
+        return out

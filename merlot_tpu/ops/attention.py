@@ -1,0 +1,99 @@
+"""Multi-head attention core.
+
+Matches the reference's attention semantics (reference: utils/transformer.py:33-138):
+scores scaled by 1/sqrt(d_head), mask applied as ``score*mask - 1e10*(1-mask)``
+(an all-masked row therefore softmaxes to uniform, same as the reference),
+softmax, optional prob-dropout, then prob @ value.
+
+TPU-first differences:
+  * q/k/v stay in the natural [B, S, H, D] layout — no [0,2,1,3] transposes;
+    XLA's dot_general contracts arbitrary dims directly on the MXU.
+  * softmax statistics accumulate in fp32 even when activations are bf16.
+  * ``collect`` controls what (if anything) is materialized besides the
+    context:
+      - 'none'   : nothing — lets XLA fuse freely / use the Pallas kernel.
+      - 'colsum' : per-key attention mass summed over heads+queries [B, Sk]
+                   (what attention-guided masking needs;
+                   reference: model/modeling.py:425-437) without keeping the
+                   full prob tensor alive.
+      - 'probs'  : full head-meaned probs [B, Sq, Sk] (telemetry;
+                   reference: transformer.py:208-211 with compress_attn).
+
+A fused Pallas flash-attention backend handles collect='none'/'colsum' for
+long sequences; the XLA path is used for short sequences where fusion wins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MASK_PENALTY = 1e10
+
+
+def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   mask: Optional[jnp.ndarray], *,
+                   collect: str = "none",
+                   dropout_rate: float = 0.0,
+                   dropout_rng: Optional[jax.Array] = None,
+                   backend: str = "auto",
+                   ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Scaled dot-product attention.
+
+    Args:
+      q: [B, Sq, H, D]
+      k, v: [B, Sk, H, D]
+      mask: [B, Sq, Sk] (1 = attend) or None; bool or float.
+      collect: 'none' | 'colsum' | 'probs' (see module docstring).
+      backend: 'auto' | 'xla' | 'pallas'.
+
+    Returns:
+      (context [B, Sq, H, D] in q.dtype, extra) where extra is None /
+      colsum [B, Sk] fp32 / probs [B, Sq, Sk] fp32 per ``collect``.
+    """
+    if collect not in ("none", "colsum", "probs"):
+        raise ValueError(f"bad collect={collect}")
+
+    if backend == "auto":
+        backend = "xla"
+
+    if backend == "pallas" and collect != "probs":
+        from merlot_tpu.ops.pallas_attention import flash_attention
+        return flash_attention(q, k, v, mask, collect=collect)
+
+    return _xla_attention(q, k, v, mask, collect=collect,
+                          dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+
+
+def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0, dropout_rng=None):
+    d_head = q.shape[-1]
+    scale = 1.0 / (d_head ** 0.5)
+
+    # [B, H, Sq, Sk] scores in fp32 on the MXU
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+
+    if mask is not None:
+        m = mask.astype(jnp.float32)[:, None]  # broadcast over heads
+        scores = scores * m - MASK_PENALTY * (1.0 - m)
+
+    probs = jax.nn.softmax(scores, axis=-1)  # fp32
+
+    extra = None
+    if collect == "colsum":
+        # head-MEANED then query-summed, matching the reference's
+        # compress_attn + reduce_sum([layers, queries]) pipeline
+        # (transformer.py:208-211, modeling.py:428)
+        extra = jnp.sum(probs, axis=(1, 2)) / probs.shape[1]  # [B, Sk]
+    elif collect == "probs":
+        extra = jnp.mean(probs, axis=1)  # head-meaned [B, Sq, Sk]
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return ctx.astype(q.dtype), extra

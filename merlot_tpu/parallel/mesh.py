@@ -1,0 +1,105 @@
+"""Device mesh + sharding rules.
+
+The reference's entire distributed story is synchronous data parallelism via
+TPUEstimator: CrossShardOptimizer gradient all-reduce
+(utils/optimization.py:241-242) plus one activation all-gather for the
+contrastive loss (utils/model_utils.py:673-707).
+
+The TPU-native design supersedes that with a 2-D ``(data, model)``
+jax.sharding.Mesh:
+
+  * **data axis** — the batch dimension of every input is sharded here;
+    gradient psum over ICI falls out of jit automatically (the
+    CrossShardOptimizer equivalent), and the contrastive loss's global
+    logit matrix makes XLA insert the all-gather the reference hand-rolled.
+  * **model axis** — optional tensor parallelism: attention head and MLP
+    hidden dims are sharded via param-path rules below, so the per-layer
+    matmuls become ICI-collective matmuls. model=1 degrades to pure DP
+    (the reference's regime).
+
+Everything is GSPMD: we annotate; XLA partitions and schedules collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules: regex over the param path (joined with '/').
+# First match wins; default is replicated. Rules assume 2-D kernels [in, out].
+# ---------------------------------------------------------------------------
+_PARAM_RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
+    # attention projections: shard the head dim
+    (r"attention/(query|key|value)/kernel$", (None, "model")),
+    (r"attention/(query|key|value)/bias$", ("model",)),
+    (r"attention/out_proj/kernel$", ("model", None)),
+    # MLP: shard the intermediate dim
+    (r"mlp/intermediate/kernel$", (None, "model")),
+    (r"mlp/intermediate/bias$", ("model",)),
+    (r"mlp/output/kernel$", ("model", None)),
+    # embeddings: shard the vocab dim (gathers stay local-ish; logits matmul
+    # becomes a reduce-scatter)
+    (r"word_embeddings$", ("model", None)),
+    (r"lm_output_bias$", ("model",)),
+)
+
+
+def param_partition_spec(path: str, leaf: Any) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            if len(spec) == np.ndim(leaf):
+                return P(*spec)
+    return P()  # replicated
+
+
+def _path_str(keypath) -> str:
+    parts = []
+    for k in keypath:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching ``params``."""
+    def one(keypath, leaf):
+        return NamedSharding(mesh, param_partition_spec(_path_str(keypath), leaf))
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree onto the mesh per the rules."""
+    return jax.tree.map(lambda x, s: jax.device_put(x, s),
+                        params, param_shardings(params, mesh))
+
+
+def batch_sharding(mesh: Mesh):
+    """Every batch array is sharded on its leading dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

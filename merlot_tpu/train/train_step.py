@@ -1,0 +1,71 @@
+"""The pjit training step.
+
+Replaces the reference's TPUEstimator harness (model/train.py:17-26 +
+utils/optimization.py): one jitted function = forward (3 objectives) +
+backward + AdamW update. Parallelism is declarative — params/batch arrive
+with NamedShardings (merlot_tpu.parallel.mesh) and GSPMD inserts the
+gradient psum / contrastive all-gather over ICI.
+
+TPU-first details:
+  * params and optimizer state are donated, so the update is in-place in
+    HBM (no double allocation);
+  * per-step RNG is folded from a root key + step counter, giving the
+    explicit-key analogue of TF's op-level seeds;
+  * scalar metrics come back as a small dict — the host decides how often
+    to device_get them (the outfeed/host-call analogue).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from merlot_tpu.models.pretrain import MerlotPretrainModel
+from merlot_tpu.train.optimizer import MerlotAdamW
+
+
+def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
+                    donate: bool = True) -> Callable:
+    """Build the jitted (params, opt_state, batch, root_key) -> ... step."""
+
+    def train_step(params, opt_state, batch, root_key):
+        step = opt_state["step"]
+        key = jax.random.fold_in(root_key, step)
+        k_mask, k_drop = jax.random.split(key)
+
+        def loss_fn(p):
+            loss, metrics, _ = model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"masking": k_mask, "dropout": k_drop})
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt_state, opt_metrics = optimizer.update(
+            grads, opt_state, params)
+        metrics.update(opt_metrics)
+        metrics["loss"] = loss
+        return new_params, new_opt_state, metrics
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0, 1))
+    return jax.jit(train_step)
+
+
+def init_train_state(model: MerlotPretrainModel, optimizer: MerlotAdamW,
+                     example_batch, seed: int = 0):
+    """Initialize (params, opt_state) for the given batch shapes (jitted)."""
+    @jax.jit
+    def _init(batch):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "masking": jax.random.PRNGKey(seed + 1),
+             "dropout": jax.random.PRNGKey(seed + 2)},
+            batch, deterministic=True)
+        return variables["params"]
+
+    params = _init(example_batch)
+    opt_state = jax.jit(optimizer.init)(params)
+    return params, opt_state

@@ -1,0 +1,124 @@
+"""Unit tests for the numerics layer, using torch / handwritten oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlot_tpu.ops import (cross_entropy_with_logits, gelu,
+                            group_norm, layer_norm, standardize_kernel)
+from merlot_tpu.ops.attention import attention_core
+from merlot_tpu.ops.sampling import gumbel_topk_without_replacement
+
+
+def test_gelu_matches_erf_oracle(rng):
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    got = np.asarray(gelu(jnp.asarray(x)))
+    import scipy.special
+    want = x * 0.5 * (1.0 + scipy.special.erf(x / np.sqrt(2.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_layer_norm_matches_torch(rng):
+    x = rng.standard_normal((3, 7, 32)).astype(np.float32)
+    gamma = rng.standard_normal(32).astype(np.float32)
+    beta = rng.standard_normal(32).astype(np.float32)
+    got = np.asarray(layer_norm(jnp.asarray(x), jnp.asarray(gamma),
+                                jnp.asarray(beta), epsilon=1e-5))
+    import torch
+    import torch.nn.functional as F
+    want = F.layer_norm(torch.tensor(x), (32,), torch.tensor(gamma),
+                        torch.tensor(beta), eps=1e-5).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_layer_norm_bf16_roundtrip(rng):
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    out = layer_norm(xb, jnp.ones(32), jnp.zeros(32))
+    assert out.dtype == jnp.bfloat16
+    # fp32 statistics => close to the fp32 answer even from bf16 input
+    ref = layer_norm(jnp.asarray(x), jnp.ones(32), jnp.zeros(32))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.05)
+
+
+def test_group_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 64)).astype(np.float32)
+    gamma = rng.standard_normal(64).astype(np.float32)
+    beta = rng.standard_normal(64).astype(np.float32)
+    got = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(gamma),
+                                jnp.asarray(beta), num_groups=32, epsilon=1e-4))
+    import torch
+    import torch.nn.functional as F
+    xt = torch.tensor(x).permute(0, 3, 1, 2)  # NCHW for torch
+    want = F.group_norm(xt, 32, torch.tensor(gamma), torch.tensor(beta),
+                        eps=1e-4).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_weight_standardization(rng):
+    k = rng.standard_normal((3, 3, 16, 32)).astype(np.float32)
+    got = np.asarray(standardize_kernel(jnp.asarray(k)))
+    mean = k.mean(axis=(0, 1, 2), keepdims=True)
+    var = k.var(axis=(0, 1, 2), keepdims=True)
+    want = (k - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.standard_normal((6, 11)).astype(np.float32)
+    labels = rng.integers(0, 11, size=6)
+    got = np.asarray(cross_entropy_with_logits(jnp.asarray(logits),
+                                               jnp.asarray(labels)))
+    import torch
+    import torch.nn.functional as F
+    want = F.cross_entropy(torch.tensor(logits), torch.tensor(labels),
+                           reduction="none").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_matches_naive(rng):
+    B, S, H, D = 2, 10, 4, 8
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    valid = rng.integers(0, 2, size=(B, S)).astype(bool)
+    valid[:, 0] = True
+    mask = (valid[:, None] & valid[:, :, None]).astype(np.float32)
+
+    ctx, probs = attention_core(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                jnp.asarray(mask), collect="probs")
+
+    # naive oracle with the reference's score*mask - 1e10*(1-mask) semantics
+    scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+    m = mask[:, None]
+    scores = scores * m - 1e10 * (1 - m)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    want_ctx = np.einsum("bhqk,bkhd->bqhd", p, v)
+    np.testing.assert_allclose(np.asarray(ctx), want_ctx, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(probs), p.mean(1), rtol=2e-4, atol=2e-4)
+
+
+def test_attention_colsum_consistent(rng):
+    B, S, H, D = 2, 12, 3, 8
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    _, colsum = attention_core(q, k, v, None, collect="colsum")
+    # every query row sums to 1, head-meaned => total mass per example = S
+    np.testing.assert_allclose(np.asarray(colsum).sum(-1),
+                               np.full(B, S, np.float32), rtol=1e-5)
+
+
+def test_gumbel_topk_no_replacement_and_distribution():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.log(jnp.asarray([[0.7, 0.1, 0.1, 0.05, 0.05]] * 4000))
+    idx = gumbel_topk_without_replacement(key, logits, 2)
+    idx_np = np.asarray(idx)
+    # no repeats within a draw
+    assert (idx_np[:, 0] != idx_np[:, 1]).all()
+    # the high-probability element appears first ~70% of the time
+    frac = (idx_np[:, 0] == 0).mean()
+    assert 0.65 < frac < 0.75

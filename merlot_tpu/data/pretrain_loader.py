@@ -1,0 +1,290 @@
+"""Async host data pipeline for pretraining.
+
+Replaces the reference's tf.data input_fn (model/dataloader.py:129-280) with
+a thread-pooled numpy pipeline feeding device-resident batches:
+
+  files -> per-host shard -> round-robin interleave -> shuffle buffer
+        -> parse (JPEG decode, random-scale align-corners resize+pad,
+           brightness/contrast augment, NaN scrub, clean-vs-raw ASR choice,
+           START/NEXTCAPTION_START prefix, pad to [num_chunks, 32])
+        -> batch -> chunk-shuffle + frame-shuffle sampling -> prefetch queue
+
+Behavioural parity notes (all from model/dataloader.py):
+  * clean vs raw ASR is chosen **per example** w.p. ``clean_asr_prob``, with
+    distinct start tokens START / NEXTCAPTION_START (:101-118);
+  * ``is_eoc`` of the last chunk is forced to 1 and ``video_src_ids`` is the
+    cumulative sum of end-of-clip deltas (:123-125);
+  * chunk-shuffle re-randomizes *video block* order within an example
+    (:211-222); frame-shuffle draws how many segments per group to shuffle
+    from [1-p, ~0, p/(g-1)...] then offsets shuffled PE indices by
+    ``shuffle_offset`` (:225-257). The reference uses offset 16 at pretrain
+    (and 64 at zero-shot); note that 16 < 64 means shuffled frames still
+    count "easy" in the temporal loss — we reproduce that quirk and expose
+    ``shuffle_offset`` to change it;
+  * images are NOT transposed — the reference's [H,W,3,B] ``transpose_input``
+    (:259-264) is a TF1-TPU layout hack XLA does not need.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from merlot_tpu.core.tokenizer import NEXTCAPTION_START, START
+from merlot_tpu.data import image_ops
+from merlot_tpu.data.tfrecord import parse_example, read_tfrecords
+
+CHUNK_KEYS = ("image/encoded", "tokenized_cleaned_asr", "tokenized_raw_asr",
+              "is_eoc", "mean_time", "chunk_num", "youtube_id")
+
+
+def shard_files(files: Sequence[str], host_id: int = 0, num_hosts: int = 1,
+                shuffle: bool = False, seed: Optional[int] = None) -> List[str]:
+    """Per-host file sharding (reference: model/dataloader.py:146-167)."""
+    files = list(files)
+    if num_hosts > 1:
+        assert len(files) // num_hosts >= 1
+        files = files[host_id::num_hosts]
+    elif shuffle:
+        np.random.default_rng(seed).shuffle(files)
+    return files
+
+
+def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
+                           rng: np.random.Generator,
+                           is_training: bool = True) -> Dict[str, np.ndarray]:
+    """One serialized Example -> features dict (reference: :56-126)."""
+    num_chunks = config["num_chunks"]
+    image_size = config["image_size"]
+    len_per_chunk = config.get("chunk_text_len", 32)
+
+    ex = parse_example(payload)
+
+    imgs = np.zeros((num_chunks, image_size[0], image_size[1], 3), np.float32)
+    tokens = np.zeros((num_chunks, len_per_chunk), np.int32)
+    is_eoc = np.zeros(num_chunks, bool)
+    mean_time = np.zeros(num_chunks, np.float32)
+    chunk_num = np.zeros(num_chunks, np.int32)
+
+    do_clean = rng.uniform() < config.get("clean_asr_prob", 0.5)
+    start_token = START if do_clean else NEXTCAPTION_START
+    asr_key = "tokenized_cleaned_asr" if do_clean else "tokenized_raw_asr"
+
+    for i in range(num_chunks):
+        pre = f"c{i:02d}/"
+        img = image_ops.decode_jpeg(ex[pre + "image/encoded"][0])
+        if is_training:
+            img, _ = image_ops.resize_and_pad(
+                img, image_size, rng=rng, do_random_scale=True,
+                random_scale_max=config.get("random_scale_max", 1.05),
+                random_scale_min=config.get("random_scale_min", 0.95),
+                resize_method="random")
+        else:
+            img, _ = image_ops.resize_and_pad(img, image_size)
+        img = np.where(np.isfinite(img), img, 0.0).astype(np.float32)
+        if is_training and config.get("augment_prob", 0.0) > 0.0:
+            img = image_ops.lightweight_image_augment(
+                img, rng, augment_prob=config["augment_prob"],
+                allowed_transforms="brightness,contrast")
+        imgs[i] = img
+
+        toks = np.asarray(ex[pre + asr_key], np.int32)[:len_per_chunk - 1]
+        tokens[i, 0] = start_token
+        tokens[i, 1:1 + len(toks)] = toks
+
+        is_eoc[i] = bool(ex[pre + "is_eoc"][0]) if i < num_chunks - 1 else True
+        mean_time[i] = float(ex[pre + "mean_time"][0])
+        chunk_num[i] = int(ex[pre + "chunk_num"][0])
+
+    delta = np.concatenate([[0], is_eoc[:-1].astype(np.int32)])
+    return {
+        "images": imgs,
+        "input_ids": tokens,
+        "is_eoc": is_eoc,
+        "video_src_ids": np.cumsum(delta).astype(np.int32),
+        "mean_time": mean_time,
+        "chunk_num": chunk_num,
+    }
+
+
+# ----------------------------------------------------------------------
+# batch-level transforms (reference: model/dataloader.py:210-276)
+# ----------------------------------------------------------------------
+def shuffle_chunks(batch: Dict[str, np.ndarray],
+                   rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Re-randomize the order of video blocks inside each example."""
+    vsrc = batch["video_src_ids"]
+    bsz, nchunk = vsrc.shape
+    mapping = np.argsort(rng.uniform(size=(bsz, nchunk)), axis=-1)
+    new_chunkid = np.take_along_axis(mapping, vsrc, axis=1)
+    trg_idx = new_chunkid * nchunk + np.arange(nchunk, dtype=np.int32)[None]
+    idx = np.argsort(trg_idx, axis=1)
+    out = dict(batch)
+    for k in ("images", "input_ids", "is_eoc", "video_src_ids", "mean_time",
+              "chunk_num"):
+        if k in out:
+            out[k] = np.take_along_axis(
+                out[k], idx.reshape(idx.shape + (1,) * (out[k].ndim - 2)), axis=1)
+    return out
+
+
+def sample_shuffled_idx(batch_size: int, num_chunks: int, group: int,
+                        shuffle_prob: float, shuffle_offset: int,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Frame-shuffle PE indices, flat [batch*num_chunks]
+    (reference: :225-257)."""
+    B = batch_size * num_chunks // group
+    if shuffle_prob < 1e-6:
+        return np.tile(np.arange(group, dtype=np.int32), B)
+
+    probs = np.array([1.0 - shuffle_prob, 1e-6]
+                     + [shuffle_prob / (group - 1)] * (group - 1))
+    probs = probs / probs.sum()
+    num_shuffle = rng.choice(len(probs), size=B, p=probs).astype(np.int32)
+    do_shuffle = np.argsort(rng.uniform(size=(B, group)), 1) < num_shuffle[:, None]
+    shuffled = np.where(
+        do_shuffle,
+        shuffle_offset + np.argsort(rng.uniform(size=(B, group)), 1),
+        np.tile(np.arange(group, dtype=np.int64)[None], (B, 1)))
+    return shuffled.reshape(-1).astype(np.int32)
+
+
+def collate_pretrain_batch(examples: List[Dict[str, np.ndarray]],
+                           config: Dict[str, Any],
+                           rng: np.random.Generator,
+                           is_training: bool = True) -> Dict[str, np.ndarray]:
+    batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+    if is_training and config.get("shuffle_chunks", False):
+        batch = shuffle_chunks(batch, rng)
+
+    bsz, nchunk = batch["input_ids"].shape[:2]
+    group = config["num_chunks_in_group"]
+    batch["shuffled_idx_img"] = sample_shuffled_idx(
+        bsz, nchunk, group,
+        shuffle_prob=config.get("image_shuffle_prob", 0.5),
+        shuffle_offset=config.get("shuffle_offset", 16),
+        rng=rng)
+
+    # flatten frames: [bsz, nchunk, h, w, 3] -> [bsz*nchunk, h, w, 3]
+    b, n, h, w, c = batch["images"].shape
+    batch["images"] = batch["images"].reshape(b * n, h, w, c)
+    return batch
+
+
+# ----------------------------------------------------------------------
+# the async loader
+# ----------------------------------------------------------------------
+class PretrainLoader:
+    """Threaded tfrecord -> batch pipeline with a bounded prefetch queue.
+
+    Iterate to get numpy batches; wrap with ``device_put_iterator`` for
+    double-buffered host->device transfer.
+    """
+
+    def __init__(self, files: Sequence[str], config: Dict[str, Any],
+                 batch_size: int, is_training: bool = True,
+                 host_id: int = 0, num_hosts: int = 1,
+                 num_threads: int = 8, shuffle_buffer: int = 256,
+                 prefetch: int = 2, seed: int = 0,
+                 repeat: Optional[bool] = None):
+        self.files = shard_files(files, host_id, num_hosts,
+                                 shuffle=is_training, seed=seed)
+        if not self.files:
+            raise ValueError("no input files")
+        self.config = config
+        self.batch_size = batch_size
+        self.is_training = is_training
+        self.num_threads = num_threads
+        self.shuffle_buffer = shuffle_buffer if is_training else 0
+        self.prefetch = prefetch
+        self.seed = seed
+        self.repeat = is_training if repeat is None else repeat
+
+    def _record_stream(self) -> Iterator[bytes]:
+        """Round-robin interleave over files (parallel_interleave analogue)."""
+        epoch = 0
+        while True:
+            iters = [read_tfrecords(f) for f in self.files]
+            live = list(range(len(iters)))
+            while live:
+                for i in list(live):
+                    try:
+                        yield next(iters[i])
+                    except StopIteration:
+                        live.remove(i)
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def _shuffled_records(self, rng) -> Iterator[bytes]:
+        if not self.shuffle_buffer:
+            yield from self._record_stream()
+            return
+        buf: List[bytes] = []
+        for rec in self._record_stream():
+            buf.append(rec)
+            if len(buf) >= self.shuffle_buffer:
+                j = rng.integers(0, len(buf))
+                buf[j], buf[-1] = buf[-1], buf[j]
+                yield buf.pop()
+        rng.shuffle(buf)
+        yield from buf
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                pool = ThreadPoolExecutor(self.num_threads)
+                pending: List = []
+                records = self._shuffled_records(rng)
+                parse_rngs = [np.random.default_rng(self.seed + 1 + i)
+                              for i in range(self.num_threads * 2)]
+                ri = 0
+                for rec in records:
+                    if stop.is_set():
+                        break
+                    pending.append(pool.submit(
+                        parse_pretrain_example, rec, self.config,
+                        parse_rngs[ri % len(parse_rngs)], self.is_training))
+                    ri += 1
+                    if len(pending) >= self.batch_size:
+                        examples = [p.result() for p in pending[:self.batch_size]]
+                        pending = pending[self.batch_size:]
+                        batch = collate_pretrain_batch(
+                            examples, self.config, rng, self.is_training)
+                        out_q.put(batch)
+                pool.shutdown(wait=False)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def device_put_iterator(it, sharding=None):
+    """Double-buffered host->device transfer (the infeed-queue analogue)."""
+    import jax
+    prev = None
+    for batch in it:
+        nxt = jax.device_put(batch, sharding) if sharding is not None \
+            else jax.device_put(batch)
+        if prev is not None:
+            yield prev
+        prev = nxt
+    if prev is not None:
+        yield prev

@@ -1,0 +1,85 @@
+"""VCR eval sidecar: poll for new checkpoints, evaluate, write summaries.
+
+The downstream/vcr/validate.py analogue (reference: :23-59): a
+checkpoint-watching loop with an overall timeout; each new checkpoint is
+evaluated on the single-mode loader and the accuracy logged (eval summary
+dir under output_dir/eval). Deleted/unreadable checkpoints are skipped, like
+the reference's NotFoundError handling.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_tpu.core.config import NeatConfig
+from merlot_tpu.downstream.vcr.dataloader import vcr_eval_batches
+from merlot_tpu.downstream.vcr.modeling import VCRModel
+from merlot_tpu.models.config import MerlotConfig
+from merlot_tpu.train.checkpoint import CheckpointManager
+from merlot_tpu.train.metrics import MetricsLogger
+
+
+def evaluate_checkpoint(model: VCRModel, params, files, config,
+                        batch_size: int, mode: str,
+                        max_examples: Optional[int] = None) -> float:
+    eval_fn = jax.jit(lambda p, img, ids: model.apply(
+        {"params": p}, img, ids, mode=mode))
+    n_correct = 0
+    n_total = 0
+    for batch in vcr_eval_batches(files, config, batch_size, mode=mode):
+        logits = eval_fn(params, jnp.asarray(batch["images"]),
+                         jnp.asarray(batch["lm_input"]))
+        pred = np.argmax(np.asarray(logits), -1)
+        n_correct += int((pred == batch["lm_targets"]).sum())
+        n_total += len(pred)
+        if max_examples and n_total >= max_examples:
+            break
+    return n_correct / max(n_total, 1)
+
+
+def watch_and_validate(config: NeatConfig, poll_seconds: float = 60.0):
+    model_cfg = MerlotConfig.from_dict(config.model).eval_mode()
+    model = VCRModel(model_cfg)
+    mode = config.downstream.get("mode", "answer")
+    merged = config.merged_data_model()
+    merged.update(config.downstream)
+    files = config.data.get("val_file_expanded") or []
+    timeout = config.validate.get("eval_timeout", 72000)
+    max_examples = config.validate.get("eval_samples")
+
+    ckpt = CheckpointManager(os.path.join(config.device["output_dir"],
+                                          "checkpoints"))
+    logger = MetricsLogger(os.path.join(config.device["output_dir"], "eval"),
+                           name="eval")
+    seen = set()
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        new_steps = [s for s in ckpt.all_steps() if s not in seen]
+        for step in new_steps:
+            seen.add(step)
+            try:
+                state = ckpt.restore(step)
+            except Exception as e:  # checkpoint gone mid-poll: skip
+                print(f"skipping step {step}: {e}")
+                continue
+            acc = evaluate_checkpoint(model, state["params"], files, merged,
+                                      config.device.get("val_batch_size", 8),
+                                      mode, max_examples)
+            logger.log(step, {f"{mode}_accuracy": acc})
+        if not new_steps:
+            time.sleep(poll_seconds)
+
+
+def main(argv=None):
+    config = NeatConfig.from_args("VCR validation sidecar")
+    watch_and_validate(config)
+
+
+if __name__ == "__main__":
+    main()

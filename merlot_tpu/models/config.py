@@ -71,6 +71,10 @@ class MerlotConfig:
     temporal_coef: float = 1.0
     image_shuffle_prob: float = 0.0
 
+    # execution strategy (TPU-first; no reference analogue)
+    scan_layers: bool = False   # lax.scan over transformer layers
+    remat: bool = False         # checkpoint each layer in backward
+
     # checkpoint warm start
     init_checkpoint: Optional[str] = None
 

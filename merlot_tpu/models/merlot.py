@@ -94,7 +94,7 @@ class MerlotModel(nn.Module):
                                  if c.vit_hidden_dropout_prob is not None
                                  else c.hidden_dropout_prob),
             attention_probs_dropout_prob=c.attention_probs_dropout_prob,
-            dtype=dtype)
+            dtype=dtype, scan_layers=c.scan_layers, remat=c.remat)
         self.vision_backbone = VisionBackbone(
             patch_size=c.patch_size, hidden_size=c.hidden_size,
             num_cls_emb=c.num_cls_emb, resnet_layers=tuple(c.resnet_layers),

@@ -12,8 +12,8 @@ TPU-first divergences (deliberate):
   * attention-prob materialization is opt-in via ``collect``:
     'none' (fused fast path), 'colsum' (per-key attention mass for
     attention-guided masking), 'probs' (head-meaned maps for telemetry).
-  * the layer loop is a python loop over scan-free layers (12 layers, traced
-    once) — remat is applied at the layer boundary by the train step.
+  * the layer stack runs either unrolled or as lax.scan over stacked params
+    (hp.scan_layers), with optional per-layer remat (hp.remat).
 """
 
 from __future__ import annotations
@@ -40,6 +40,13 @@ class TransformerHParams:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.0
     dtype: Any = jnp.bfloat16
+    # lax.scan over layers: one compiled layer body instead of an unrolled
+    # stack — ~12x smaller XLA graph / compile time, same math. Param layout
+    # becomes [num_layers, ...] stacked (handled by sharding rules + ckpt io)
+    scan_layers: bool = False
+    # remat at the layer boundary: recompute activations in backward to
+    # trade FLOPs for HBM (jax.checkpoint / nn.remat)
+    remat: bool = False
 
 
 class SelfAttention(nn.Module):
@@ -94,7 +101,7 @@ class TransformerLayer(nn.Module):
     hp: TransformerHParams
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray], *,
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  collect: str = "none", deterministic: bool = True,
                  attn_backend: str = "auto"):
         attn_out, extra = SelfAttention(self.hp, name="attention")(
@@ -107,12 +114,37 @@ class TransformerLayer(nn.Module):
         return x, extra
 
 
+class _LayerForScan(nn.Module):
+    """TransformerLayer with static options baked into module attrs so
+    nn.scan sees a clean (carry, broadcast-input) signature."""
+    hp: TransformerHParams
+    collect: str
+    deterministic: bool
+    attn_backend: str
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x, extra = TransformerLayer(self.hp, name="layer")(
+            x, mask, collect=self.collect, deterministic=self.deterministic,
+            attn_backend=self.attn_backend)
+        if extra is None:
+            extra = jnp.zeros((), jnp.float32)  # scan needs a concrete output
+        return x, extra
+
+
 class TransformerEncoder(nn.Module):
     """Stack of pre-LN layers + final LN.
 
+    Two execution modes:
+      * unrolled python loop (default; supports num_layers prefix runs);
+      * hp.scan_layers: lax.scan over a stacked-param layer (12x smaller XLA
+        program; params live under 'layers' with a leading layer axis).
+    hp.remat checkpoints each layer (activations recomputed in backward).
+
     Returns dict with:
       hidden_state [B, S, H] (compute dtype)
-      attn_colsum  [B, S] fp32, summed over layers+heads+queries (collect='colsum')
+      attn_colsum  [B, S] fp32, summed over layers, head-meaned, query-summed
+                   (collect='colsum')
       attn_probs   [B, num_layers, S, S] fp32 head-meaned (collect='probs')
     """
     hp: TransformerHParams
@@ -126,25 +158,54 @@ class TransformerEncoder(nn.Module):
         if mask is not None and mask.dtype != jnp.float32:
             mask = mask.astype(jnp.float32)
 
-        colsum = None
-        probs_all = []
-        # num_layers < hp.num_layers runs a prefix of the (shared) stack —
-        # how the lang-only tower shares the joint encoder's weights when
-        # configured shallower (reference: model/modeling.py:361-371).
-        for i in range(num_layers if num_layers is not None else self.hp.num_layers):
-            x, extra = TransformerLayer(self.hp, name=f"layer{i:02d}")(
-                x, mask, collect=collect, deterministic=deterministic,
-                attn_backend=attn_backend)
+        n = num_layers if num_layers is not None else self.hp.num_layers
+        out: Dict[str, jnp.ndarray] = {}
+
+        if self.hp.scan_layers:
+            # prefix runs (shared lang tower shallower than the joint stack)
+            # are only meaningful with distinct layer weights; with scan all
+            # configs we support use equal depths.
+            assert n == self.hp.num_layers, \
+                "scan_layers requires full-depth calls (equal tower depths)"
+            layer_cls = _LayerForScan
+            if self.hp.remat:
+                layer_cls = nn.remat(layer_cls, prevent_cse=False)
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.hp.num_layers,
+                metadata_params={nn.PARTITION_NAME: None},
+            )(self.hp, collect, deterministic, attn_backend, name="layers")
+            x, extras = scanned(x, mask)
             if collect == "colsum":
-                colsum = extra if colsum is None else colsum + extra
+                out["attn_colsum"] = jnp.sum(extras, axis=0)
             elif collect == "probs":
-                probs_all.append(extra)
+                out["attn_probs"] = jnp.transpose(extras, (1, 0, 2, 3))
+        else:
+            colsum = None
+            probs_all = []
+            # num_layers < hp.num_layers runs a prefix of the (shared)
+            # stack — how the lang-only tower shares the joint encoder's
+            # weights when configured shallower (reference: modeling.py:361-371)
+            for i in range(n):
+                layer_cls = TransformerLayer
+                if self.hp.remat:
+                    # collect/deterministic/attn_backend are static strings
+                    layer_cls = nn.remat(layer_cls, prevent_cse=False,
+                                         static_argnums=(3, 4, 5))
+                x, extra = layer_cls(self.hp, name=f"layer{i:02d}")(
+                    x, mask, collect, deterministic, attn_backend)
+                if collect == "colsum":
+                    colsum = extra if colsum is None else colsum + extra
+                elif collect == "probs":
+                    probs_all.append(extra)
+            if collect == "colsum":
+                out["attn_colsum"] = colsum
+            elif collect == "probs":
+                out["attn_probs"] = jnp.stack(probs_all, axis=1)
 
         x = LayerNorm(name="final_ln")(x)
-
-        out: Dict[str, jnp.ndarray] = {"hidden_state": x}
-        if collect == "colsum":
-            out["attn_colsum"] = colsum
-        elif collect == "probs":
-            out["attn_probs"] = jnp.stack(probs_all, axis=1)
+        out["hidden_state"] = x
         return out

@@ -65,8 +65,13 @@ _PARAM_RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
 def param_partition_spec(path: str, leaf: Any) -> P:
     for pattern, spec in _PARAM_RULES:
         if re.search(pattern, path):
-            if len(spec) == np.ndim(leaf):
+            ndim = np.ndim(leaf)
+            if len(spec) == ndim:
                 return P(*spec)
+            if len(spec) < ndim:
+                # scan-stacked params carry a leading [num_layers] axis
+                # (nn.scan variable_axes): left-pad with None
+                return P(*((None,) * (ndim - len(spec)) + tuple(spec)))
     return P()  # replicated
 
 

@@ -1,0 +1,112 @@
+"""Training harness: the TPUEstimator.train replacement.
+
+Owns the loop around the jitted step: init-or-restore, warm start, host
+data iteration with device prefetch, periodic metrics (device_get every
+``log_every`` steps — the outfeed analogue), step-numbered checkpoints
+(every ``iterations_per_loop`` like the reference, utils/neat_config.py:140),
+optional jax.profiler trace capture, and a NaN guard (the reference's only
+numerical-safety net was telemetry; we fail fast instead).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from merlot_tpu.train.checkpoint import CheckpointManager, warm_start
+from merlot_tpu.train.metrics import MetricsLogger
+from merlot_tpu.train.optimizer import MerlotAdamW
+from merlot_tpu.train.train_step import make_train_step
+
+
+class Trainer:
+    def __init__(self, model, optimizer: MerlotAdamW, output_dir: str,
+                 mesh=None, log_every: int = 50,
+                 checkpoint_every: int = 1000,
+                 profile_dir: Optional[str] = None,
+                 profile_steps: Optional[range] = None,
+                 seed: int = 0):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.log_every = log_every
+        self.checkpoint_every = checkpoint_every
+        self.ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+        self.logger = MetricsLogger(output_dir)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self.seed = seed
+        self.step_fn = make_train_step(model, optimizer)
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch, init_checkpoint: Optional[str] = None):
+        """Restore latest checkpoint, else fresh init (+ optional warm start
+        from a params-only checkpoint path)."""
+        from merlot_tpu.train.train_step import init_train_state
+
+        latest = self.ckpt.latest_step()
+        params, opt_state = init_train_state(self.model, self.optimizer,
+                                             example_batch, seed=self.seed)
+        if latest is not None:
+            print(f"restoring checkpoint at step {latest}")
+            state = self.ckpt.restore(latest,
+                                      {"params": params, "opt_state": opt_state})
+            return state["params"], state["opt_state"]
+
+        if init_checkpoint:
+            print(f"warm starting from {init_checkpoint}")
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            src = ckptr.restore(os.path.abspath(init_checkpoint))
+            src_params = src.get("params", src)
+            params, _ = warm_start(params, src_params)
+        return params, opt_state
+
+    # ------------------------------------------------------------------
+    def run(self, params, opt_state, batches: Iterator[Dict[str, Any]],
+            num_steps: int, root_key=None):
+        if root_key is None:
+            root_key = jax.random.PRNGKey(self.seed)
+        ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+
+        with ctx:
+            start_step = int(jax.device_get(opt_state["step"]))
+            step = start_step
+            t_start = time.time()
+            for batch in batches:
+                if step >= num_steps:
+                    break
+                if (self.profile_dir and self.profile_steps
+                        and step == self.profile_steps.start):
+                    jax.profiler.start_trace(self.profile_dir)
+                params, opt_state, metrics = self.step_fn(
+                    params, opt_state, batch, root_key)
+                step += 1
+                if (self.profile_dir and self.profile_steps
+                        and step == self.profile_steps.stop):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+
+                if step % self.log_every == 0 or step == num_steps:
+                    host_metrics = jax.device_get(metrics)
+                    loss = float(host_metrics["loss"])
+                    if not np.isfinite(loss):
+                        self.logger.log(step, host_metrics)
+                        raise FloatingPointError(
+                            f"non-finite loss {loss} at step {step}")
+                    self.logger.log(step, host_metrics)
+
+                if step % self.checkpoint_every == 0 or step == num_steps:
+                    self.ckpt.save(step, {"params": jax.device_get(params),
+                                          "opt_state": jax.device_get(opt_state)})
+
+            dt = time.time() - t_start
+            if step > start_step:
+                print(f"trained {step - start_step} steps in {dt:.1f}s "
+                      f"({(step - start_step) / dt:.3f} steps/s)")
+        return params, opt_state

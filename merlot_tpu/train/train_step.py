@@ -54,6 +54,29 @@ def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
     return jax.jit(train_step)
 
 
+def make_loss_train_step(loss_fn: Callable, optimizer: MerlotAdamW,
+                         donate: bool = True) -> Callable:
+    """Train step from an arbitrary ``loss_fn(params, batch, key) ->
+    (loss, metrics)`` — used by downstream finetuning (VCR)."""
+
+    def train_step(params, opt_state, batch, root_key):
+        key = jax.random.fold_in(root_key, opt_state["step"])
+
+        def wrapped(p):
+            return loss_fn(p, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
+        new_params, new_opt_state, opt_metrics = optimizer.update(
+            grads, opt_state, params)
+        metrics.update(opt_metrics)
+        metrics["loss"] = loss
+        return new_params, new_opt_state, metrics
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0, 1))
+    return jax.jit(train_step)
+
+
 def init_train_state(model: MerlotPretrainModel, optimizer: MerlotAdamW,
                      example_batch, seed: int = 0):
     """Initialize (params, opt_state) for the given batch shapes (jitted)."""

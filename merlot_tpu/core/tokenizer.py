@@ -171,3 +171,55 @@ def get_tokenizer(vocab_dir: str | None = None) -> Tokenizer:
     vocab_dir = vocab_dir or os.environ.get("MERLOT_TPU_VOCAB_DIR") or _ASSETS_DIR
     gpt2_vocab, merges = _load_vocab_assets(vocab_dir)
     return Tokenizer(gpt2_vocab, merges)
+
+
+class GroverTokenizer(Tokenizer):
+    """The Grover denoiser's vocabulary layout on the same GPT-2 merges
+    (reference: data/groverdenoise/sample/encoder.py:53-77):
+
+      * every GPT-2 id offset by +1, ``<|padding|>`` = 0;
+      * ``<|endoftext|>`` removed;
+      * paired begin/end specials for domain/date/authors/title/article/
+        summary appended from id 50257 up, then ``<|resetcontext|>`` —
+        total vocab 50270 (matches lm/configs/medium.json).
+    """
+
+    SPECIAL_FIELDS = ("domain", "date", "authors", "title", "article", "summary")
+
+    def __init__(self, gpt2_vocab, merges, errors: str = "replace"):
+        # bypass Tokenizer.__init__'s +100 layout; rebuild with +1
+        self.encoder = {k: v + 1 for k, v in gpt2_vocab.items()}
+        self.encoder["<|padding|>"] = 0
+        self.padding = 0
+        del self.encoder["<|endoftext|>"]
+        for field_name in self.SPECIAL_FIELDS:
+            setattr(self, f"begin_{field_name}", len(self.encoder))
+            self.encoder[f"<|begin{field_name}|>"] = len(self.encoder)
+            setattr(self, f"end_{field_name}", len(self.encoder))
+            self.encoder[f"<|endof{field_name}|>"] = len(self.encoder)
+        self.reset_context = len(self.encoder)
+        self.encoder["<|resetcontext|>"] = len(self.encoder)
+
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.errors = errors
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.merge_rank = {pair: rank for rank, pair in enumerate(merges)}
+        self._bpe_cache = {}
+        self._pretok = re.compile(_GPT2_SPLIT_PATTERN)
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return len(self.encoder)
+
+    @property
+    def special_tokens_onehot(self):
+        """1 for every id that is a special token (padding + appended)."""
+        return [1 if (tok.startswith("<|") and tok.endswith("|>")) else 0
+                for tok, i in sorted(self.encoder.items(), key=lambda kv: kv[1])]
+
+
+def get_grover_tokenizer(vocab_dir: str | None = None) -> GroverTokenizer:
+    vocab_dir = vocab_dir or os.environ.get("MERLOT_TPU_VOCAB_DIR") or _ASSETS_DIR
+    gpt2_vocab, merges = _load_vocab_assets(vocab_dir)
+    return GroverTokenizer(gpt2_vocab, merges)

@@ -1,0 +1,339 @@
+"""Grover: the decoder-only LM used by the ASR denoiser, TPU-native.
+
+Parity target: data/groverdenoise/lm/modeling.py (reference). Architecture
+(GPT-2-family, but note the reference's idiosyncratic residual layout, which
+we reproduce exactly):
+
+  per layer:  h = LN( (h + attn(h)) + mlp(LN(h + attn(h))) )
+  i.e. attention reads the UN-normalized stream (:495-510), and
+  residual_mlp_layer applies 'mlp_ln0' before the MLP and 'mlp_ln1' after
+  the residual add (:230-258). Embeddings are word+position with an
+  'embed_norm' LN (:262-331). Logits are tied to the embedding table, no
+  bias (:530-533). Weighted LM loss with a x4 bonus on denoise-target tokens
+  (:535-565).
+
+TPU-native sampling (replaces :694-904):
+  * the reference grows its KV cache by tf.concat every step inside
+    tf.while_loop — a new allocation per token. Here the cache is
+    PREALLOCATED at [num_layers, B, max_len, heads, d_head] and written with
+    dynamic_update_slice; the decode loop is a lax.while_loop over static
+    shapes, so XLA compiles one step and reuses buffers.
+  * top-p keeps the reference's exact semantics (sort descending, keep
+    cumulative < p plus the argmax, sample in sorted space: :331-386);
+    top-k likewise (:389-421).
+  * ``sample_seq2seq`` force-feeds non-pad tokens of a partial context
+    (the denoising interface, :813-904): at each position the sampled token
+    is overridden by the context token when one exists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from merlot_tpu.nn.layers import DenseTN, LayerNorm
+from merlot_tpu.ops.activations import gelu
+
+
+@dataclass(frozen=True)
+class GroverConfig:
+    vocab_size: int = 50270
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    initializer_range: float = 0.02
+    pad_token_id: int = 0
+    use_bfloat16: bool = False
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "GroverConfig":
+        with open(path) as f:
+            d = json.load(f)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @property
+    def d_head(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+class GroverLayer(nn.Module):
+    cfg: GroverConfig
+
+    @nn.compact
+    def __call__(self, h, mask, kv_write_pos=None, cache_k=None, cache_v=None,
+                 deterministic=True):
+        """One decoder layer.
+
+        h [B, S, H]; mask [B or 1, S, K] over the key axis (the preallocated
+        cache when decoding, else S). If cache_k/v given ([B, max_len, n_h,
+        d]), the new K/V chunk is written at kv_write_pos and attention runs
+        over the whole buffer; returns (h, new_cache_k, new_cache_v).
+        """
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
+        b, s, _ = h.shape
+
+        def proj(name, x):
+            y = DenseTN(c.hidden_size, dtype=dtype,
+                        initializer_range=c.initializer_range, name=name)(x)
+            return y.reshape(b, s, c.num_attention_heads, c.d_head)
+
+        q = proj("query", h)
+        k = proj("key", h)
+        v = proj("value", h)
+
+        if cache_k is not None:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, kv_write_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, kv_write_pos, 0, 0))
+            k_all, v_all = cache_k, cache_v
+        else:
+            k_all, v_all = k, v
+
+        scale = 1.0 / (c.d_head ** 0.5)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        m = mask.astype(jnp.float32)[:, None] if mask.ndim == 3 else mask
+        scores = scores * m - 1e10 * (1.0 - m)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype),
+                         v_all.astype(q.dtype),
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+
+        attn_out = DenseTN(c.hidden_size, dtype=dtype,
+                           initializer_range=c.initializer_range,
+                           name="out_proj")(ctx.reshape(b, s, c.hidden_size))
+        attn_out = nn.Dropout(c.hidden_dropout_prob)(attn_out,
+                                                     deterministic=deterministic)
+
+        x = h + attn_out
+        x_norm = LayerNorm(name="mlp_ln0")(x)
+        mlp = DenseTN(c.intermediate_size, dtype=dtype,
+                      initializer_range=c.initializer_range,
+                      name="intermediate")(x_norm)
+        mlp = DenseTN(c.hidden_size, dtype=dtype,
+                      initializer_range=c.initializer_range,
+                      name="output")(gelu(mlp))
+        mlp = nn.Dropout(c.hidden_dropout_prob)(mlp, deterministic=deterministic)
+        out = LayerNorm(name="mlp_ln1")(x + mlp)
+        return out, cache_k, cache_v
+
+
+class GroverLM(nn.Module):
+    cfg: GroverConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, *,
+                 cache: Optional[Dict[str, jnp.ndarray]] = None,
+                 position_offset=0,
+                 deterministic: bool = True):
+        """Forward. Training: cache=None, causal within the sequence.
+        Decoding: cache = {'k','v'} [num_layers, B, max_len, n_h, d]; the
+        current chunk is written at position_offset and attention covers
+        cache positions < position_offset + S.
+
+        Returns (logits [B, S, vocab], new_cache | None).
+        """
+        c = self.cfg
+        b, s = input_ids.shape
+
+        table = self.param("word_embed",
+                           nn.initializers.truncated_normal(c.initializer_range,
+                                                            lower=-2.0, upper=2.0),
+                           (c.vocab_size, c.hidden_size), jnp.float32)
+        pos_table = self.param("pos_embed",
+                               nn.initializers.truncated_normal(
+                                   c.initializer_range, lower=-2.0, upper=2.0),
+                               (c.max_position_embeddings, c.hidden_size),
+                               jnp.float32)
+        h = jnp.take(table, input_ids, axis=0)
+        pos = jax.lax.dynamic_slice_in_dim(
+            pos_table, position_offset, s, axis=0) if not isinstance(
+            position_offset, int) or position_offset else pos_table[:s]
+        h = LayerNorm(name="embed_norm")(h + pos[None])
+
+        q_pos = position_offset + jnp.arange(s)
+        if cache is not None:
+            max_len = cache["k"].shape[2]
+            k_pos = jnp.arange(max_len)
+            mask = (k_pos[None] <= q_pos[:, None]).astype(jnp.float32)[None]
+        else:
+            mask = (jnp.arange(s)[None] <= q_pos[:, None]
+                    ).astype(jnp.float32)[None]
+
+        new_k, new_v = [], []
+        for i in range(c.num_hidden_layers):
+            ck = cache["k"][i] if cache is not None else None
+            cv = cache["v"][i] if cache is not None else None
+            h, ck, cv = GroverLayer(c, name=f"layer{i:02d}")(
+                h, mask, kv_write_pos=position_offset, cache_k=ck, cache_v=cv,
+                deterministic=deterministic)
+            if cache is not None:
+                new_k.append(ck)
+                new_v.append(cv)
+
+        logits = jnp.dot(h.astype(jnp.float32), table.T,
+                         preferred_element_type=jnp.float32)
+        new_cache = ({"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+                     if cache is not None else None)
+        return logits, new_cache
+
+    # ------------------------------------------------------------------
+    def empty_cache(self, batch_size: int, max_len: int) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        shape = (c.num_hidden_layers, batch_size, max_len,
+                 c.num_attention_heads, c.d_head)
+        dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def grover_lm_loss(logits: jnp.ndarray, input_ids: jnp.ndarray,
+                   is_target: jnp.ndarray, pad_token_id: int = 0,
+                   target_bonus: float = 4.0):
+    """Weighted next-token CE (reference: :535-565). logits/[B,S,V] align
+    with input_ids; targets are input_ids shifted left, pad-filled."""
+    b, s = input_ids.shape
+    targets = jnp.concatenate(
+        [input_ids[:, 1:], jnp.full((b, 1), pad_token_id, input_ids.dtype)], 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_tok = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+
+    w = (targets != pad_token_id).astype(jnp.float32)
+    w = w + is_target.astype(jnp.float32) * target_bonus
+    denom = jnp.sum(w) + 1e-5
+    is_t = is_target.astype(jnp.float32)
+    loss = jnp.sum(w * per_tok) / denom
+    ctx_loss = jnp.sum((1 - is_t) * w * per_tok) / denom
+    trg_loss = jnp.sum(is_t * w * per_tok) / denom
+    return loss, {"loss": loss, "ctx_loss": ctx_loss, "trg_loss": trg_loss}
+
+
+# ----------------------------------------------------------------------
+# sampling
+# ----------------------------------------------------------------------
+def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
+                 ignore_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Nucleus sampling with the reference's keep rule (reference: :331-386):
+    keep tokens whose EXCLUSIVE-cumulative mass < p, always keep the argmax,
+    sample in sorted space. logits [B, V] -> [B] int32."""
+    if ignore_ids is not None:
+        logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
+    if p > 0.999999:
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    # reference cumsum is INCLUSIVE then tests `< p`, keeping rank 0 always
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    vocab = logits.shape[-1]
+    keep = (csum < p) | (jnp.arange(vocab)[None] < 1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    sorted_logits = sorted_logits - (~keep).astype(jnp.float32) * 1e10
+    pick = jax.random.categorical(key, sorted_logits)
+    return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,
+                 ignore_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if ignore_ids is not None:
+        logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
+    vocab = logits.shape[-1]
+    order = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    sorted_logits = sorted_logits - (jnp.arange(vocab)[None] >= k) * 1e10
+    pick = jax.random.categorical(key, sorted_logits)
+    return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
+                         p_for_topp: float = 0.95,
+                         eos_token: int = 3,
+                         ignore_pad_only: bool = True):
+    """Build a jitted seq2seq sampler.
+
+    fn(params, initial_context [B, L0] (pad = generate here), key)
+      -> (tokens [B, max_len], probs [B, max_len])
+
+    prefix_len must be a static int <= every row's context length (the
+    reference uses min over non-empty rows, :834-838): positions <
+    prefix_len are processed in one prefill pass; after that one token per
+    while_loop step, each sampled token overridden by the context token when
+    the context has one (the force-feeding denoise interface).
+    """
+    cfg = model.cfg
+    assert 0 < prefix_len
+    ignore_ids = (jnp.arange(cfg.vocab_size) == cfg.pad_token_id) \
+        if ignore_pad_only else None
+
+    def fn(params, initial_context, key):
+        b, l0 = initial_context.shape
+        tokens = jnp.full((b, max_len), cfg.pad_token_id, jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, initial_context[:, :prefix_len], (0, 0))
+        probs = jnp.zeros((b, max_len), jnp.float32)
+        row_valid = jnp.any(initial_context != cfg.pad_token_id, axis=1)
+
+        cache = model.empty_cache(b, max_len)
+        # prefill: logits for positions 1..prefix_len
+        logits, cache = model.apply(params, initial_context[:, :prefix_len],
+                                    cache=cache, position_offset=0)
+        # context-token probabilities (prev_probs analogue, for perplexity)
+        lp = jax.nn.softmax(logits[:, :-1], axis=-1)
+        ctx_probs = jnp.take_along_axis(
+            lp, initial_context[:, 1:prefix_len, None], axis=-1)[..., 0]
+        probs = jax.lax.dynamic_update_slice(probs, ctx_probs, (0, 1))
+
+        def pick_token(pos, logits_last, k):
+            sampled = top_p_sample(k, logits_last, p_for_topp, ignore_ids)
+            # force-feed: if the padded context still has a token at pos, use it
+            in_ctx = pos < l0
+            ctx_tok = jax.lax.dynamic_slice_in_dim(
+                initial_context, jnp.minimum(pos, l0 - 1), 1, axis=1)[:, 0]
+            use_ctx = in_ctx & (ctx_tok != cfg.pad_token_id)
+            tok = jnp.where(use_ctx, ctx_tok, sampled)
+            pall = jax.nn.softmax(logits_last, axis=-1)
+            pr = jnp.take_along_axis(pall, tok[:, None], axis=-1)[:, 0]
+            return tok, pr
+
+        key0, key_loop = jax.random.split(key)
+        tok, pr = pick_token(prefix_len, logits[:, -1], key0)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None],
+                                              (0, prefix_len))
+        probs = jax.lax.dynamic_update_slice(probs, pr[:, None],
+                                             (0, prefix_len))
+
+        def cond(state):
+            pos, tokens, probs, cache, k = state
+            done = jnp.any(tokens == eos_token, axis=1) | (~row_valid)
+            return (pos < max_len) & (~jnp.all(done))
+
+        def body(state):
+            pos, tokens, probs, cache, k = state
+            k, k_step = jax.random.split(k)
+            last = jax.lax.dynamic_slice(tokens, (0, pos - 1), (b, 1))
+            logits, cache = model.apply(params, last, cache=cache,
+                                        position_offset=pos - 1)
+            tok, pr = pick_token(pos, logits[:, 0], k_step)
+            tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, pos))
+            probs = jax.lax.dynamic_update_slice(probs, pr[:, None], (0, pos))
+            return (pos + 1, tokens, probs, cache, k)
+
+        _, tokens, probs, _, _ = jax.lax.while_loop(
+            cond, body, (prefix_len + 1, tokens, probs, cache, key_loop))
+        return tokens, probs
+
+    return jax.jit(fn)

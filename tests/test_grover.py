@@ -1,0 +1,150 @@
+"""Grover LM: forward/loss, cached-vs-uncached equivalence, seq2seq sampler,
+tokenizer layout, denoiser service."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlot_tpu.core.tokenizer import get_grover_tokenizer
+from merlot_tpu.models.grover import (GroverConfig, GroverLM,
+                                      grover_lm_loss, make_seq2seq_sampler,
+                                      top_k_sample, top_p_sample)
+
+TINY = GroverConfig(vocab_size=50270, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=64, hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0)
+
+
+def test_grover_tokenizer_layout():
+    tok = get_grover_tokenizer()
+    assert tok.padding == 0
+    assert tok.padded_vocab_size == 50270           # matches medium.json
+    assert tok.begin_title == 50263 and tok.end_title == 50264
+    assert tok.begin_article == 50265 and tok.end_article == 50266
+    assert tok.reset_context == 50269
+    assert "<|endoftext|>" not in tok.encoder
+    # +1 offset roundtrip
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+    oh = tok.special_tokens_onehot
+    assert len(oh) == 50270 and oh[0] == 1 and oh[50263] == 1 and oh[500] == 0
+
+
+def test_forward_and_loss(rng):
+    model = GroverLM(TINY)
+    ids = jnp.asarray(rng.integers(1, 50257, (2, 10)), jnp.int32)
+    variables = jax.jit(lambda i: model.init(jax.random.PRNGKey(0), i))(ids)
+    logits, cache = jax.jit(lambda v, i: model.apply(v, i))(variables, ids)
+    assert logits.shape == (2, 10, 50270)
+    assert cache is None
+    is_target = jnp.zeros((2, 10), jnp.int32).at[:, 5:].set(1)
+    loss, metrics = grover_lm_loss(logits, ids, is_target)
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - np.log(50270)) < 1.0  # chance level
+    assert float(metrics["trg_loss"]) > float(metrics["ctx_loss"])  # x4 bonus
+
+
+def test_cached_decode_matches_full_forward(rng):
+    """Prefill+single-step cached logits == full uncached forward logits."""
+    model = GroverLM(TINY)
+    ids = jnp.asarray(rng.integers(1, 50257, (2, 9)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+
+    full_logits, _ = jax.jit(lambda v, i: model.apply(v, i))(variables, ids)
+
+    cache = model.empty_cache(2, 16)
+    pre_logits, cache = jax.jit(
+        lambda v, i, c: model.apply(v, i, cache=c, position_offset=0))(
+        variables, ids[:, :6], cache)
+    np.testing.assert_allclose(np.asarray(pre_logits),
+                               np.asarray(full_logits[:, :6]),
+                               rtol=2e-4, atol=2e-4)
+    # decode tokens 6,7,8 one at a time
+    step = jax.jit(lambda v, i, c, o: model.apply(v, i, cache=c,
+                                                  position_offset=o))
+    for t in range(6, 9):
+        logits_t, cache = step(variables, ids[:, t:t + 1], cache, t)
+        np.testing.assert_allclose(np.asarray(logits_t[:, 0]),
+                                   np.asarray(full_logits[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_top_p_semantics():
+    # distribution [0.5, 0.3, 0.15, 0.05]; p=0.6 keeps {0, 1} (cumsum 0.5<0.6
+    # keeps rank0; 0.8>0.6 excludes rank1? reference keeps cumulative<p ->
+    # rank1 has cumsum 0.8 NOT < 0.6 -> excluded; rank0 always kept)
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]] * 2000))
+    samples = np.asarray(top_p_sample(jax.random.PRNGKey(0), logits, p=0.6))
+    assert set(np.unique(samples)) == {0}
+    # p=0.81: cumsum ranks = (0.5, 0.8, 0.95); 0.5<0.81 and 0.8<0.81 keep {0,1}
+    samples = np.asarray(top_p_sample(jax.random.PRNGKey(1), logits, p=0.81))
+    assert set(np.unique(samples)) == {0, 1}
+    # ignore_ids suppresses index 0 entirely
+    ign = jnp.asarray([1, 0, 0, 0], bool)
+    samples = np.asarray(top_p_sample(jax.random.PRNGKey(2), logits, p=0.999,
+                                      ignore_ids=ign))
+    assert 0 not in samples
+    samples = np.asarray(top_k_sample(jax.random.PRNGKey(3), logits, k=2))
+    assert set(np.unique(samples)) <= {0, 1}
+
+
+def test_seq2seq_sampler_force_feeds_context(rng):
+    model = GroverLM(TINY)
+    ids0 = jnp.asarray(rng.integers(1, 50257, (2, 8)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids0)
+
+    # context rows: 6 real tokens then pads (to be generated)
+    ctx = np.zeros((2, 8), np.int32)
+    ctx[:, :6] = np.asarray(rng.integers(1, 50257, (2, 6)))
+    # row 0 has an extra forced token at position 7
+    ctx[0, 7] = 1234
+
+    sampler = make_seq2seq_sampler(model, max_len=16, prefix_len=6,
+                                   p_for_topp=0.95, eos_token=50266)
+    tokens, probs = sampler(variables, jnp.asarray(ctx), jax.random.PRNGKey(7))
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, 16)
+    np.testing.assert_array_equal(tokens[:, :6], ctx[:, :6])  # prefix kept
+    assert tokens[0, 7] == 1234                               # force-fed
+    assert (tokens[:, 6] != 0).all()                          # sampled
+    probs = np.asarray(probs)
+    assert ((probs >= 0) & (probs <= 1)).all()
+
+
+def test_denoiser_service_roundtrip(tmp_path):
+    """Drive the HTTP service end-to-end with a tiny random model."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from merlot_tpu.tools.denoise_server import Denoiser, make_handler
+
+    cfg_path = str(tmp_path / "tiny.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"vocab_size": 50270, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 128},
+                  f)
+    den = Denoiser(cfg_path, None, max_len=64, top_p=0.94, max_ctx=32)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(den, str(tmp_path / "log.jsonl")))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/ask",
+            data=json.dumps({"noisyasr": "so today were gonna make pasta"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            out = json.loads(resp.read())
+        assert "gen" in out and "ppl" in out
+        assert isinstance(out["gen"], str)
+        # log written
+        log = (tmp_path / "log.jsonl").read_text().strip()
+        assert "cleanasr" in log
+    finally:
+        server.shutdown()

@@ -1,0 +1,93 @@
+"""Offline processing: DTW alignment, chunking, cleanup, black-bar trim."""
+
+import numpy as np
+import pytest
+
+from merlot_tpu.data.process import (align_using_dtw, clean_description,
+                                     clean_subtitles, dtw_path, edit_distance,
+                                     split_video_into_chunks)
+from merlot_tpu.data.video import detect_black_bars, get_size_for_resize
+
+
+def test_edit_distance():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance("", "abc") == 3
+    assert edit_distance("same", "same") == 0
+
+
+def test_dtw_path_simple():
+    cost = np.array([[0., 5., 5.],
+                     [5., 0., 5.],
+                     [5., 5., 0.]])
+    path = dtw_path(cost)
+    assert path[0] == (0, 0) and path[-1] == (2, 2)
+    assert (1, 1) in path  # diagonal is optimal
+
+
+def test_align_using_dtw_handles_merged_words():
+    asr = ["much", "of", "a", "pancake", "waffle", "person", "so"]
+    grover = ["much", "of", "a", "pancakewaffle", "person", "so"]
+    out = align_using_dtw(asr, grover)
+    assert len(out) == len(asr)
+    assert out[0] == "much"
+    joined = " ".join(out)
+    assert "pancakewaffle" in joined and "person" in joined
+    # no denoised word is duplicated
+    flat = [w for x in out for w in x.split() if w]
+    assert len(flat) == len(set(range(len(flat)))) and len(flat) <= len(grover)
+
+
+def test_align_identity():
+    words = ["hello", "world", "this", "is", "fine"]
+    assert align_using_dtw(words, words) == words
+
+
+def test_clean_subtitles_and_description():
+    subs = [{"word": "&gt;", "time": 0.0}, {"word": "hello", "time": 1.0},
+            {"word": "x;", "time": 2.0}]
+    cleaned = clean_subtitles(subs)
+    assert [c["word"] for c in cleaned] == ["hello"]
+    desc = clean_description("check https://example.com/x?y=1   now\n\n\nok")
+    assert "example.com" not in desc
+    assert "%" in desc and "\n\n" not in desc
+
+
+def test_split_video_into_chunks():
+    # 40 words, one per second; sentence end at word 9
+    words = [f"word{i}" + ("." if i in (9, 25) else "") for i in range(40)]
+    item = {
+        "subtitles": [{"word": w, "time": float(i)}
+                      for i, w in enumerate(words)],
+        "denoised": [{"cleanasr": " ".join(words)}],
+        "info": {"title": "t", "duration": 100.0, "id": "vid1"},
+    }
+    chunks = split_video_into_chunks(item)
+    assert len(chunks) >= 2
+    assert chunks[-1]["is_eoc"] and not any(c["is_eoc"] for c in chunks[:-1])
+    for c in chunks:
+        # both token streams fit the chunk budget (+1 slack for the boundary
+        # token committed with the row)
+        assert len(c["noisy_enc"]) <= 31 + 8
+        assert 0.0 <= c["mean_timestep"] < 100.0
+    # timestamps increase
+    ts = [c["mean_timestep"] for c in chunks]
+    assert all(a < b for a, b in zip(ts, ts[1:]))
+
+
+def test_detect_black_bars():
+    frames = np.zeros((2, 100, 80, 3), np.uint8)
+    frames[:, 10:90, 5:75] = 128   # content box
+    y1, y2, x1, x2 = detect_black_bars(frames, blackbar_threshold=16)
+    # trims at most 20% per side
+    assert y1 == 10 and y2 == 90 and x1 == 5 and x2 == 75
+    frames2 = np.zeros((1, 100, 80, 3), np.uint8)
+    frames2[:, 40:60, 30:50] = 128  # tiny content: trim capped at 20%
+    y1, y2, x1, x2 = detect_black_bars(frames2)
+    assert y1 == 20 and y2 == 80 and x1 == 16 and x2 == 64
+
+
+def test_get_size_for_resize():
+    assert get_size_for_resize((1280, 720)) == (512, 288)  # wide: cap long side
+    assert get_size_for_resize((640, 640)) == (384, 384)
+    assert get_size_for_resize((300, 200)) == (300, 200)   # never upscale
+    assert get_size_for_resize((720, 1280)) == (288, 512)

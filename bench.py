@@ -45,7 +45,11 @@ def _load_prev_baseline() -> float | None:
 
 
 def main():
+    import dataclasses
+
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import numpy as np
 
     from __graft_entry__ import _flagship_config, _make_batch
@@ -57,6 +61,13 @@ def main():
     log(f"device: {dev}")
 
     cfg = _flagship_config()
+    # experiment knobs (defaults = shipping config)
+    cfg = dataclasses.replace(
+        cfg,
+        scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1")
+    batch_sizes = tuple(
+        int(x) for x in os.environ.get("BENCH_BATCH", "8,4,2,1").split(","))
     num_chunks = 16
     model = MerlotPretrainModel(cfg)
     optimizer = MerlotAdamW(AdamWConfig(
@@ -68,7 +79,7 @@ def main():
                           {"weight_decay_rate": 0.0}),)))
 
     value = None
-    for batch_size in (8, 4, 2, 1):
+    for batch_size in batch_sizes:
         try:
             log(f"trying per-chip batch={batch_size} ({batch_size * num_chunks} segments)")
             batch = _make_batch(cfg, batch=batch_size, num_chunks=num_chunks)

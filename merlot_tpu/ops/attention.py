@@ -56,10 +56,12 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if collect not in ("none", "colsum", "probs"):
         raise ValueError(f"bad collect={collect}")
 
+    fusable = collect != "probs" and dropout_rate == 0.0
     if backend == "auto":
-        backend = "xla"
+        backend = "pallas" if (fusable and jax.default_backend() == "tpu") \
+            else "xla"
 
-    if backend == "pallas" and collect != "probs":
+    if backend == "pallas" and fusable:
         from merlot_tpu.ops.pallas_attention import flash_attention
         return flash_attention(q, k, v, mask, collect=collect)
 

@@ -1,0 +1,25 @@
+"""Build the native data-path extension: python -m merlot_tpu.data._native.build"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sysconfig
+
+
+def build(verbose: bool = True) -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native.cc")
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(here, f"_merlot_native{suffix}")
+    include = sysconfig.get_paths()["include"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           f"-I{include}", src, "-o", out]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return out
+
+
+if __name__ == "__main__":
+    print("built:", build())

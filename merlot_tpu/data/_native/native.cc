@@ -1,0 +1,271 @@
+// Native data-path kernels for the host loader (CPython C API, no pybind11).
+//
+// The reference delegates its entire record pipeline to TF's C++ runtime
+// (tf.data.TFRecordDataset + TFExampleDecoder, model/dataloader.py:176,38).
+// This module supplies the equivalent native pieces under our numpy loader:
+//
+//   crc32c(bytes)           — slicing-by-8 Castagnoli CRC (record integrity)
+//   masked_crc(bytes)       — TFRecord's rotated+masked variant
+//   read_record_spans(path) — one pass over a tfrecord file returning
+//                             (offset, length) pairs with CRC verification,
+//                             so Python slices payloads zero-copy from an
+//                             mmap/bytes object
+//   scan_example(payload)   — protobuf wire scan of a tf.train.Example:
+//                             returns {key: (field_no, offset, length)} of
+//                             each Feature's inner list payload, letting
+//                             Python decode only the fields it needs (e.g.
+//                             slice JPEG bytes without touching token lists)
+//
+// Build: python -m merlot_tpu.data._native.build  (gcc -O3 -shared -fPIC)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <string.h>
+
+// ---------------------------------------------------------------------
+// crc32c, slicing-by-8
+// ---------------------------------------------------------------------
+static uint32_t crc_table[8][256];
+static int table_ready = 0;
+
+static void init_tables(void) {
+  const uint32_t poly = 0x82F63B78u;
+  for (int i = 0; i < 256; i++) {
+    uint32_t crc = (uint32_t)i;
+    for (int j = 0; j < 8; j++)
+      crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
+    crc_table[0][i] = crc;
+  }
+  for (int i = 0; i < 256; i++)
+    for (int t = 1; t < 8; t++)
+      crc_table[t][i] =
+          (crc_table[t - 1][i] >> 8) ^ crc_table[0][crc_table[t - 1][i] & 0xFF];
+  table_ready = 1;
+}
+
+static uint32_t crc32c_raw(const uint8_t *buf, Py_ssize_t len, uint32_t crc) {
+  crc = ~crc;
+  while (len >= 8) {
+    uint64_t word;
+    memcpy(&word, buf, 8);
+    word ^= (uint64_t)crc;
+    crc = crc_table[7][word & 0xFF] ^ crc_table[6][(word >> 8) & 0xFF] ^
+          crc_table[5][(word >> 16) & 0xFF] ^ crc_table[4][(word >> 24) & 0xFF] ^
+          crc_table[3][(word >> 32) & 0xFF] ^ crc_table[2][(word >> 40) & 0xFF] ^
+          crc_table[1][(word >> 48) & 0xFF] ^ crc_table[0][(word >> 56) & 0xFF];
+    buf += 8;
+    len -= 8;
+  }
+  while (len--) crc = (crc >> 8) ^ crc_table[0][(crc ^ *buf++) & 0xFF];
+  return ~crc;
+}
+
+static uint32_t masked(uint32_t crc) {
+  return (((crc >> 15) | (crc << 17)) + 0xA282EAD8u);
+}
+
+static PyObject *py_crc32c(PyObject *self, PyObject *args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+  uint32_t crc = crc32c_raw((const uint8_t *)view.buf, view.len, 0);
+  PyBuffer_Release(&view);
+  return PyLong_FromUnsignedLong(crc);
+}
+
+static PyObject *py_masked_crc(PyObject *self, PyObject *args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+  uint32_t crc = masked(crc32c_raw((const uint8_t *)view.buf, view.len, 0));
+  PyBuffer_Release(&view);
+  return PyLong_FromUnsignedLong(crc);
+}
+
+// ---------------------------------------------------------------------
+// tfrecord framing scan
+// ---------------------------------------------------------------------
+static PyObject *py_read_record_spans(PyObject *self, PyObject *args) {
+  const char *path;
+  int verify = 1;
+  if (!PyArg_ParseTuple(args, "s|p", &path, &verify)) return NULL;
+
+  FILE *f = fopen(path, "rb");
+  if (!f) return PyErr_Format(PyExc_IOError, "cannot open %s", path);
+
+  PyObject *spans = PyList_New(0);
+  uint8_t header[12], tail[4];
+  uint64_t offset = 0;
+  while (1) {
+    size_t got = fread(header, 1, 12, f);
+    if (got == 0) break;
+    if (got < 12) {
+      fclose(f);
+      Py_DECREF(spans);
+      return PyErr_Format(PyExc_IOError, "truncated header in %s", path);
+    }
+    uint64_t len;
+    memcpy(&len, header, 8);  // little-endian host assumed (x86/arm LE)
+    if (verify) {
+      uint32_t want;
+      memcpy(&want, header + 8, 4);
+      if (masked(crc32c_raw(header, 8, 0)) != want) {
+        fclose(f);
+        Py_DECREF(spans);
+        return PyErr_Format(PyExc_IOError, "bad length crc in %s", path);
+      }
+    }
+    uint64_t payload_off = offset + 12;
+    if (fseek(f, (long)len, SEEK_CUR) != 0 || fread(tail, 1, 4, f) < 4) {
+      fclose(f);
+      Py_DECREF(spans);
+      return PyErr_Format(PyExc_IOError, "truncated record in %s", path);
+    }
+    PyObject *tup = Py_BuildValue("(KK)", payload_off, len);
+    PyList_Append(spans, tup);
+    Py_DECREF(tup);
+    offset = payload_off + len + 4;
+  }
+  fclose(f);
+  return spans;
+}
+
+// ---------------------------------------------------------------------
+// protobuf wire scan of tf.train.Example
+// ---------------------------------------------------------------------
+static int read_varint(const uint8_t *buf, Py_ssize_t len, Py_ssize_t *pos,
+                       uint64_t *out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (*pos < len && shift < 64) {
+    uint8_t b = buf[(*pos)++];
+    result |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return 0;
+    }
+    shift += 7;
+  }
+  return -1;
+}
+
+static int skip_field(const uint8_t *buf, Py_ssize_t len, Py_ssize_t *pos,
+                      int wire) {
+  uint64_t v;
+  switch (wire) {
+    case 0: return read_varint(buf, len, pos, &v);
+    case 1: *pos += 8; return *pos <= len ? 0 : -1;
+    case 2:
+      if (read_varint(buf, len, pos, &v)) return -1;
+      *pos += (Py_ssize_t)v;
+      return *pos <= len ? 0 : -1;
+    case 5: *pos += 4; return *pos <= len ? 0 : -1;
+    default: return -1;
+  }
+}
+
+// Returns dict {key_bytes: (list_field_no, inner_offset, inner_len)}, where
+// inner_offset/len delimit the repeated-value payload of the BytesList/
+// FloatList/Int64List inside the original buffer.
+static PyObject *py_scan_example(PyObject *self, PyObject *args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+  const uint8_t *buf = (const uint8_t *)view.buf;
+  Py_ssize_t len = view.len, pos = 0;
+  PyObject *out = PyDict_New();
+
+  while (pos < len) {
+    uint64_t tag;
+    if (read_varint(buf, len, &pos, &tag)) goto fail;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) {  // Example.features
+      if (skip_field(buf, len, &pos, (int)(tag & 7))) goto fail;
+      continue;
+    }
+    uint64_t flen;
+    if (read_varint(buf, len, &pos, &flen)) goto fail;
+    Py_ssize_t fend = pos + (Py_ssize_t)flen;
+
+    while (pos < fend) {  // Features.feature map entries
+      uint64_t etag;
+      if (read_varint(buf, fend, &pos, &etag)) goto fail;
+      if ((etag >> 3) != 1 || (etag & 7) != 2) {
+        if (skip_field(buf, fend, &pos, (int)(etag & 7))) goto fail;
+        continue;
+      }
+      uint64_t elen;
+      if (read_varint(buf, fend, &pos, &elen)) goto fail;
+      Py_ssize_t eend = pos + (Py_ssize_t)elen;
+
+      const uint8_t *key = NULL;
+      Py_ssize_t key_len = 0;
+      long list_field = 0;
+      Py_ssize_t in_off = 0, in_len = 0;
+
+      while (pos < eend) {  // map entry: key=1, value(Feature)=2
+        uint64_t mtag;
+        if (read_varint(buf, eend, &pos, &mtag)) goto fail;
+        int mf = (int)(mtag >> 3), mw = (int)(mtag & 7);
+        if (mw != 2) {
+          if (skip_field(buf, eend, &pos, mw)) goto fail;
+          continue;
+        }
+        uint64_t mlen;
+        if (read_varint(buf, eend, &pos, &mlen)) goto fail;
+        if (mf == 1) {
+          key = buf + pos;
+          key_len = (Py_ssize_t)mlen;
+        } else if (mf == 2) {
+          // Feature: oneof bytes_list=1 / float_list=2 / int64_list=3,
+          // each a message whose field 1 holds the values
+          Py_ssize_t vpos = pos, vend = pos + (Py_ssize_t)mlen;
+          while (vpos < vend) {
+            uint64_t vtag;
+            if (read_varint(buf, vend, &vpos, &vtag)) goto fail;
+            if ((vtag & 7) != 2) {
+              if (skip_field(buf, vend, &vpos, (int)(vtag & 7))) goto fail;
+              continue;
+            }
+            uint64_t vlen;
+            if (read_varint(buf, vend, &vpos, &vlen)) goto fail;
+            list_field = (long)(vtag >> 3);
+            in_off = vpos;
+            in_len = (Py_ssize_t)vlen;
+            vpos += (Py_ssize_t)vlen;
+          }
+        }
+        pos += (Py_ssize_t)mlen;
+      }
+      if (key) {
+        PyObject *k = PyBytes_FromStringAndSize((const char *)key, key_len);
+        PyObject *v = Py_BuildValue("(lnn)", list_field, in_off, in_len);
+        PyDict_SetItem(out, k, v);
+        Py_DECREF(k);
+        Py_DECREF(v);
+      }
+    }
+  }
+  PyBuffer_Release(&view);
+  return out;
+fail:
+  PyBuffer_Release(&view);
+  Py_DECREF(out);
+  PyErr_SetString(PyExc_ValueError, "malformed Example proto");
+  return NULL;
+}
+
+static PyMethodDef Methods[] = {
+    {"crc32c", py_crc32c, METH_VARARGS, "crc32c (Castagnoli) of bytes"},
+    {"masked_crc", py_masked_crc, METH_VARARGS, "TFRecord masked crc32c"},
+    {"read_record_spans", py_read_record_spans, METH_VARARGS,
+     "tfrecord file -> [(payload_offset, length)] with CRC verification"},
+    {"scan_example", py_scan_example, METH_VARARGS,
+     "Example payload -> {key: (list_field, inner_off, inner_len)}"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef module = {PyModuleDef_HEAD_INIT, "_merlot_native",
+                                    NULL, -1, Methods};
+
+PyMODINIT_FUNC PyInit__merlot_native(void) {
+  init_tables();
+  return PyModule_Create(&module);
+}

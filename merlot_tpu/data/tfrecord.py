@@ -43,8 +43,10 @@ _CRC_TABLE = _build_crc32c_table()
 
 try:  # native fast path (built by merlot_tpu/data/_native/build.py)
     from merlot_tpu.data._native import crc32c as _native_crc32c  # type: ignore
+    from merlot_tpu.data._native import read_record_spans as _native_spans
 except Exception:
     _native_crc32c = None
+    _native_spans = None
 
 
 def crc32c(data: bytes) -> int:
@@ -87,7 +89,17 @@ class TFRecordWriter:
 
 
 def read_tfrecords(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    """Yield raw record payloads from a tfrecord file."""
+    """Yield raw record payloads from a tfrecord file.
+
+    Uses the native framing scanner when built (one C pass computing spans
+    + length CRCs, then zero-copy-ish slicing of a single bulk read)."""
+    if _native_spans is not None:
+        spans = _native_spans(path, verify_crc)
+        with open(path, "rb") as f:
+            raw = f.read()
+        for off, length in spans:
+            yield raw[off:off + length]
+        return
     with open(path, "rb") as f:
         while True:
             header = f.read(12)

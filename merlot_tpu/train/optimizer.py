@@ -62,6 +62,10 @@ class AdamWConfig:
     epsilon: float = 1e-6
     clip_norm: float = 1.0          # <= 0 disables (merlot.yaml sets 0)
     use_bfloat16_adam: bool = False
+    # per-scope gradnorm telemetry (reference verbose mode,
+    # utils/optimization.py:198-231); depth = how many path levels to group by
+    verbose: bool = False
+    gradnorm_depth: int = 2
     # list of [regex_list, {hyperparam: value}]
     param_overrides: Tuple = ()
 
@@ -179,6 +183,20 @@ class MerlotAdamW:
 
         metrics = {"learning_rate": self.cfg.learning_rate * scale,
                    "gradnorms/_overall": global_norm}
+        if c.verbose:
+            # per-scope gradient norms + the decoupled weight-decay "loss"
+            groups: Dict[str, Any] = {}
+            wd_loss = 0.0
+            for path, p, g in zip(paths, flat_p, flat_g):
+                scope = "/".join(path.split("/")[:c.gradnorm_depth])
+                sq = jnp.sum(jnp.square(g.astype(jnp.float32)))
+                groups[scope] = groups.get(scope, 0.0) + sq
+                hp = self._resolve(path)
+                wd_loss = wd_loss + hp["weight_decay_rate"] * 0.5 * jnp.sum(
+                    jnp.square(p.astype(jnp.float32)))
+            for scope, sq in groups.items():
+                metrics[f"gradnorms/{scope}"] = jnp.sqrt(sq)
+            metrics["weight_decay_loss"] = wd_loss
         new_state = {"step": step + 1,
                      "m": jax.tree_util.tree_unflatten(treedef, new_m),
                      "v": jax.tree_util.tree_unflatten(treedef, new_v)}

@@ -101,7 +101,7 @@ def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
         chunk_num[i] = int(ex[pre + "chunk_num"][0])
 
     delta = np.concatenate([[0], is_eoc[:-1].astype(np.int32)])
-    return {
+    out = {
         "images": imgs,
         "input_ids": tokens,
         "is_eoc": is_eoc,
@@ -109,6 +109,18 @@ def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
         "mean_time": mean_time,
         "chunk_num": chunk_num,
     }
+    # unbatch path for huge per-example chunk counts (reference:
+    # model/dataloader.py:190-207): split one num_chunks example into
+    # unbatch_size sub-examples of num_chunks/unbatch_size chunks each
+    unbatch = config.get("unbatch_size", 1)
+    if unbatch > 1:
+        assert num_chunks % unbatch == 0
+        sub = num_chunks // unbatch
+        return [
+            {k: v[i * sub:(i + 1) * sub] for k, v in out.items()}
+            for i in range(unbatch)
+        ]
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -255,7 +267,10 @@ class PretrainLoader:
                         parse_rngs[ri % len(parse_rngs)], self.is_training))
                     ri += 1
                     if len(pending) >= self.batch_size:
-                        examples = [p.result() for p in pending[:self.batch_size]]
+                        examples = []
+                        for p in pending[:self.batch_size]:
+                            r = p.result()
+                            examples.extend(r if isinstance(r, list) else [r])
                         pending = pending[self.batch_size:]
                         batch = collate_pretrain_batch(
                             examples, self.config, rng, self.is_training)

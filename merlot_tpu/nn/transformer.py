@@ -50,22 +50,41 @@ class TransformerHParams:
 
 
 class SelfAttention(nn.Module):
+    """MHA with the reference attention_layer's full surface
+    (utils/transformer.py:33-138): optional cross-attention source
+    (``x_enc``, the x_enc_flat analogue) and an optional preallocated KV
+    cache written at ``cache_pos`` (the cache/do_cache analogue, but with
+    static-shape dynamic_update_slice instead of growing concats)."""
     hp: TransformerHParams
 
     @nn.compact
     def __call__(self, x_norm: jnp.ndarray, mask: Optional[jnp.ndarray], *,
                  collect: str = "none", deterministic: bool = True,
-                 attn_backend: str = "auto"):
+                 attn_backend: str = "auto",
+                 x_enc: Optional[jnp.ndarray] = None,
+                 cache: Optional[dict] = None, cache_pos=0):
         hp = self.hp
         b, s, h = x_norm.shape
         d_head = hp.hidden_size // hp.num_heads
 
-        def proj(name):
+        def proj(name, src):
             y = DenseTN(hp.hidden_size, dtype=hp.dtype,
-                        initializer_range=hp.initializer_range, name=name)(x_norm)
-            return y.reshape(b, s, hp.num_heads, d_head)
+                        initializer_range=hp.initializer_range, name=name)(src)
+            return y.reshape(b, src.shape[1], hp.num_heads, d_head)
 
-        q, k, v = proj("query"), proj("key"), proj("value")
+        kv_src = x_enc if x_enc is not None else x_norm
+        q = proj("query", x_norm)
+        k = proj("key", kv_src)
+        v = proj("value", kv_src)
+
+        new_cache = None
+        if cache is not None:
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
+            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+            new_cache = {"k": ck, "v": cv}
 
         drop_rng = None
         if not deterministic and hp.attention_probs_dropout_prob > 0.0:
@@ -80,7 +99,7 @@ class SelfAttention(nn.Module):
                       initializer_range=hp.initializer_range,
                       name="out_proj")(ctx.reshape(b, s, hp.hidden_size))
         out = nn.Dropout(hp.hidden_dropout_prob)(out, deterministic=deterministic)
-        return out, extra
+        return out, extra, new_cache
 
 
 class MlpBlock(nn.Module):
@@ -103,14 +122,19 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  collect: str = "none", deterministic: bool = True,
-                 attn_backend: str = "auto"):
-        attn_out, extra = SelfAttention(self.hp, name="attention")(
+                 attn_backend: str = "auto",
+                 x_enc: Optional[jnp.ndarray] = None,
+                 cache: Optional[dict] = None, cache_pos=0):
+        attn_out, extra, new_cache = SelfAttention(self.hp, name="attention")(
             LayerNorm(name="attn_ln")(x), mask, collect=collect,
-            deterministic=deterministic, attn_backend=attn_backend)
+            deterministic=deterministic, attn_backend=attn_backend,
+            x_enc=x_enc, cache=cache, cache_pos=cache_pos)
         x = x + attn_out
         mlp_out = MlpBlock(self.hp, name="mlp")(
             LayerNorm(name="mlp_ln")(x), deterministic=deterministic)
         x = x + mlp_out
+        if cache is not None:
+            return x, (extra, new_cache)
         return x, extra
 
 
@@ -153,10 +177,20 @@ class TransformerEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray], *,
                  collect: str = "none", deterministic: bool = True,
                  attn_backend: str = "auto",
-                 num_layers: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+                 num_layers: Optional[int] = None,
+                 x_enc: Optional[jnp.ndarray] = None,
+                 cache: Optional[Dict[str, jnp.ndarray]] = None,
+                 cache_pos=0) -> Dict[str, jnp.ndarray]:
+        """x_enc: cross-attention source [B, S_enc, H] (K/V come from it).
+        cache: stacked KV cache {'k','v'} [num_layers, B, max_len, heads, d]
+        written at cache_pos; the updated cache is returned under
+        'new_cache'. Both are unrolled-mode only (like the reference, which
+        never combines them with scan)."""
         x = x.astype(self.hp.dtype)
         if mask is not None and mask.dtype != jnp.float32:
             mask = mask.astype(jnp.float32)
+        if (x_enc is not None or cache is not None) and self.hp.scan_layers:
+            raise NotImplementedError("cache/cross-attn require unrolled mode")
 
         n = num_layers if num_layers is not None else self.hp.num_layers
         out: Dict[str, jnp.ndarray] = {}
@@ -186,17 +220,27 @@ class TransformerEncoder(nn.Module):
         else:
             colsum = None
             probs_all = []
+            new_caches = []
             # num_layers < hp.num_layers runs a prefix of the (shared)
             # stack — how the lang-only tower shares the joint encoder's
             # weights when configured shallower (reference: modeling.py:361-371)
             for i in range(n):
                 layer_cls = TransformerLayer
-                if self.hp.remat:
+                if self.hp.remat and cache is None:
                     # collect/deterministic/attn_backend are static strings
                     layer_cls = nn.remat(layer_cls, prevent_cse=False,
                                          static_argnums=(3, 4, 5))
-                x, extra = layer_cls(self.hp, name=f"layer{i:02d}")(
-                    x, mask, collect, deterministic, attn_backend)
+                layer = layer_cls(self.hp, name=f"layer{i:02d}")
+                if cache is not None:
+                    layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
+                    x, (extra, nc) = layer(x, mask, collect, deterministic,
+                                           attn_backend, x_enc=x_enc,
+                                           cache=layer_cache,
+                                           cache_pos=cache_pos)
+                    new_caches.append(nc)
+                else:
+                    x, extra = layer(x, mask, collect, deterministic,
+                                     attn_backend, x_enc=x_enc)
                 if collect == "colsum":
                     colsum = extra if colsum is None else colsum + extra
                 elif collect == "probs":
@@ -205,6 +249,10 @@ class TransformerEncoder(nn.Module):
                 out["attn_colsum"] = colsum
             elif collect == "probs":
                 out["attn_probs"] = jnp.stack(probs_all, axis=1)
+            if cache is not None:
+                out["new_cache"] = {
+                    "k": jnp.stack([c["k"] for c in new_caches]),
+                    "v": jnp.stack([c["v"] for c in new_caches])}
 
         x = LayerNorm(name="final_ln")(x)
         out["hidden_state"] = x

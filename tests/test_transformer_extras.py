@@ -1,0 +1,92 @@
+"""Generic transformer surface: cross-attention, KV cache, mask utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlot_tpu.nn.transformer import TransformerEncoder, TransformerHParams
+from merlot_tpu.ops.masks import (ltr_attention_mask, one_hot_gather,
+                                  unilm_attention_mask)
+
+HP = TransformerHParams(hidden_size=32, num_layers=2, num_heads=2,
+                        intermediate_size=64, hidden_dropout_prob=0.0,
+                        dtype=jnp.float32)
+
+
+def test_one_hot_gather(rng):
+    table = jnp.asarray(rng.standard_normal((10, 8)), jnp.float32)
+    idx = jnp.asarray([3, 0, 9], jnp.int32)
+    np.testing.assert_allclose(np.asarray(one_hot_gather(table, idx)),
+                               np.asarray(table)[[3, 0, 9]], rtol=1e-6)
+
+
+def test_ltr_mask_with_cache_prefix():
+    m = np.asarray(ltr_attention_mask(3, 5))
+    # 2 cached positions: row i attends keys <= i + 2
+    want = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 0], [1, 1, 1, 1, 1]],
+                    np.float32)
+    np.testing.assert_array_equal(m, want)
+
+
+def test_unilm_mask():
+    bidi = jnp.asarray([[1, 1, 0, 0]], jnp.float32)
+    m = np.asarray(unilm_attention_mask(bidi))[0]
+    assert m[0, 1] == 1.0   # forward into bidirectional zone allowed
+    assert m[0, 2] == 0.0   # forward into causal zone blocked
+    assert m[3, 2] == 1.0   # backward always allowed
+    pad = jnp.asarray([[0, 0, 0, 1]], bool)
+    m2 = np.asarray(unilm_attention_mask(bidi, pad))[0]
+    assert m2[3, 3] == 0.0  # padding key excluded
+
+
+def test_cross_attention_runs_and_depends_on_encoder(rng):
+    enc = TransformerEncoder(HP)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    x_enc = jnp.asarray(rng.standard_normal((2, 9, 32)), jnp.float32)
+    mask = jnp.ones((2, 5, 9), jnp.float32)
+    v = enc.init(jax.random.PRNGKey(0), x, mask, x_enc=x_enc)
+    o1 = enc.apply(v, x, mask, x_enc=x_enc)["hidden_state"]
+    o2 = enc.apply(v, x, mask, x_enc=x_enc * 2.0)["hidden_state"]
+    assert o1.shape == (2, 5, 32)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_encoder_cache_decode_matches_full(rng):
+    """Causal decode through the generic encoder cache == full forward."""
+    enc = TransformerEncoder(HP)
+    b, s, max_len = 2, 6, 8
+    x = jnp.asarray(rng.standard_normal((b, s, 32)), jnp.float32)
+    causal = jnp.tril(jnp.ones((s, s)))[None].astype(jnp.float32)
+    causal = jnp.broadcast_to(causal, (b, s, s))
+    v = enc.init(jax.random.PRNGKey(0), x, causal)
+    full = enc.apply(v, x, causal)["hidden_state"]
+
+    d = 32 // 2
+    cache = {"k": jnp.zeros((2, b, max_len, 2, d)),
+             "v": jnp.zeros((2, b, max_len, 2, d))}
+    outs = []
+    for t in range(s):
+        step_mask = (jnp.arange(max_len)[None, None] <= t).astype(jnp.float32)
+        step_mask = jnp.broadcast_to(step_mask, (b, 1, max_len))
+        o = enc.apply(v, x[:, t:t + 1], step_mask, cache=cache, cache_pos=t)
+        cache = o["new_cache"]
+        outs.append(o["hidden_state"][:, 0])
+    decoded = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(decoded, np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_loader_unbatch_path(tmp_path):
+    from merlot_tpu.data.make_synthetic_tfrecord import write_synthetic_shard
+    from merlot_tpu.data.pretrain_loader import PretrainLoader
+    shard = str(tmp_path / "x.tfrecord")
+    write_synthetic_shard(shard, num_examples=2, num_chunks=8, img_hw=(48, 64))
+    cfg = {"num_chunks": 8, "image_size": [32, 48], "chunk_text_len": 8,
+           "num_chunks_in_group": 2, "image_shuffle_prob": 0.5,
+           "unbatch_size": 2, "shuffle_chunks": False}
+    loader = PretrainLoader([shard], cfg, batch_size=1, num_threads=1,
+                            shuffle_buffer=0, seed=0, repeat=False)
+    b = next(iter(loader))
+    # one source example of 8 chunks -> 2 sub-examples of 4 chunks
+    assert b["input_ids"].shape == (2, 4, 8)
+    assert b["images"].shape == (8, 32, 48, 3)

@@ -54,9 +54,12 @@ def make_zero_shot_fn(cfg: MerlotConfig, batch_size: int, num_chunks: int,
     def fn(params, images, sentences):
         imgs, sents = _prep(images, sentences)
 
+        from merlot_tpu.ops.attention import inference_backend
+
         def run(mdl):
             fwd = mdl(imgs, sents[:, :, :32], mask_input=False,
-                      shuffled_idx_img=shuffled_idx, deterministic=True)
+                      shuffled_idx_img=shuffled_idx, deterministic=True,
+                      attn_backend=inference_backend())
             s = fwd["shapes"]
             h_lang = fwd["encoder_hidden_states"]["lang"].reshape(
                 s["B"], s["group"], s["lang_chunk_len"], cfg.hidden_size)[:, :, 0]

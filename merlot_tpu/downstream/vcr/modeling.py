@@ -78,8 +78,10 @@ class VCRModel(nn.Module):
         if lm_input.ndim == 3:
             lm_input = lm_input.reshape(-1, lm_input.shape[-1])
 
+        from merlot_tpu.ops.attention import inference_backend
+        backend = "auto" if not deterministic else inference_backend()
         fwd = self.merlot(images, lm_input, mask_input=False,
-                          deterministic=deterministic)
+                          deterministic=deterministic, attn_backend=backend)
         h0 = fwd["encoder_hidden_states"]["lang"][:, 0]  # [n_text, H] fp32
         img_batch = images.shape[0]
 

@@ -139,13 +139,16 @@ class GroverLM(nn.Module):
     def __call__(self, input_ids: jnp.ndarray, *,
                  cache: Optional[Dict[str, jnp.ndarray]] = None,
                  position_offset=0,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 return_hidden: bool = False):
         """Forward. Training: cache=None, causal within the sequence.
         Decoding: cache = {'k','v'} [num_layers, B, max_len, n_h, d]; the
         current chunk is written at position_offset and attention covers
         cache positions < position_offset + S.
 
-        Returns (logits [B, S, vocab], new_cache | None).
+        Returns (logits [B, S, vocab], new_cache | None); with
+        return_hidden, (logits, new_cache, hidden [B, S, H]) — for
+        classification pooling (see ``pooled_hidden``).
         """
         c = self.cfg
         b, s = input_ids.shape
@@ -189,6 +192,8 @@ class GroverLM(nn.Module):
                          preferred_element_type=jnp.float32)
         new_cache = ({"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
                      if cache is not None else None)
+        if return_hidden:
+            return logits, new_cache, h
         return logits, new_cache
 
     # ------------------------------------------------------------------
@@ -198,6 +203,15 @@ class GroverLM(nn.Module):
                  c.num_attention_heads, c.d_head)
         dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def pooled_hidden(hidden: jnp.ndarray, input_ids: jnp.ndarray,
+                  clf_token: int) -> jnp.ndarray:
+    """Hidden state at the first occurrence of clf_token per row
+    (classification pooling; reference: lm/modeling.py:567-574)."""
+    pool_idx = jnp.argmax((input_ids == clf_token).astype(jnp.float32), axis=1)
+    return jnp.take_along_axis(hidden, pool_idx[:, None, None].astype(jnp.int32)
+                               .repeat(hidden.shape[-1], -1), axis=1)[:, 0]
 
 
 def grover_lm_loss(logits: jnp.ndarray, input_ids: jnp.ndarray,

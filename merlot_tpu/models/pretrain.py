@@ -162,3 +162,19 @@ class MerlotPretrainModel(nn.Module):
 
         loss = lang_l + contr_l + temp_l
         return loss, metrics, fwd
+
+    def debug_forward(self, batch: Dict[str, jnp.ndarray]):
+        """PREDICT-mode debug export (reference: model/modeling.py:759-787):
+        full forward with telemetry attention maps, the joint encoder's
+        head-meaned probs, lang-tower masked ids, and every scalar loss —
+        for offline inspection of a training batch."""
+        loss, metrics, fwd = self(batch, deterministic=True,
+                                  collect_attention="probs",
+                                  attn_backend="xla")
+        return {
+            "loss": loss,
+            "metrics": metrics,
+            "masked_ids": fwd["lang_mask_info"]["masked_ids"],
+            "masked_idx": fwd["lang_mask_info"]["masked_idx"],
+            "encoder_hidden_states": fwd["encoder_hidden_states"],
+        }

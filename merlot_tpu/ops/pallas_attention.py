@@ -97,7 +97,12 @@ def _flash_fwd(q, k, v, mask, *, collect_colsum: bool, q_blk: int = 256):
     equal to the array dim is allowed)."""
     b, s, h, d = q.shape
     s_pad = _round_up(s, LANE)
+    # q_blk must divide s_pad exactly (the grid would silently drop the
+    # remainder rows otherwise); s_pad is always a multiple of LANE
     q_blk = min(q_blk, s_pad)
+    while s_pad % q_blk:
+        q_blk -= LANE
+    assert q_blk >= LANE
 
     if mask is None:
         # only key padding needs masking

@@ -12,7 +12,7 @@ from merlot_tpu.ops.pallas_attention import flash_attention
 
 
 @pytest.mark.parametrize("s,collect", [(20, "none"), (20, "colsum"),
-                                       (160, "colsum")])
+                                       (160, "colsum"), (300, "none")])
 def test_flash_matches_xla_interpret(rng, s, collect):
     B, H, D = 2, 3, 16
     q = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)

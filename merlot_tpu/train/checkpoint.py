@@ -49,11 +49,7 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
 
     def restore(self, step: int, template=None):
-        import orbax.checkpoint as ocp
-        if template is not None:
-            return self._ckptr.restore(
-                self.path(step), ocp.args.StandardRestore(template))
-        return self._ckptr.restore(self.path(step))
+        return self._ckptr.restore(self.path(step), target=template)
 
     def all_steps(self) -> List[int]:
         steps = []

@@ -1,0 +1,108 @@
+"""Trainer loop: steps run, metrics logged, checkpoint/resume round-trips."""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlot_tpu.models.config import MerlotConfig
+from merlot_tpu.models.pretrain import MerlotPretrainModel
+from merlot_tpu.train.harness import Trainer
+from merlot_tpu.train.optimizer import AdamWConfig, MerlotAdamW
+
+CFG = MerlotConfig(
+    hidden_size=32, vocab_size=300, num_hidden_layers=1,
+    num_attention_heads=2, intermediate_size=64, image_size=(32, 32),
+    patch_size=16, spatial_pool_size=1, use_bfloat16=False,
+    num_vision_transformer_hidden_layers=1,
+    num_lang_transformer_hidden_layers=1, num_chunks_in_group=2,
+    hidden_dropout_prob=0.0, image_shuffle_prob=0.4)
+
+
+def _batch(rng):
+    return {
+        "images": jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(100, 300, (2, 2, 8)), jnp.int32),
+        "shuffled_idx_img": jnp.asarray([0, 1, 0, 1], jnp.int32),
+        "video_src_ids": jnp.zeros((2, 2), jnp.int32),
+    }
+
+
+def _stream(rng, n):
+    for _ in range(n):
+        yield _batch(rng)
+
+
+def test_trainer_runs_checkpoints_and_resumes(tmp_path, rng):
+    out = str(tmp_path / "run")
+    model = MerlotPretrainModel(CFG)
+    opt = MerlotAdamW(AdamWConfig(learning_rate=1e-3, num_train_steps=10,
+                                  num_warmup_steps=0, clip_norm=0.0))
+    trainer = Trainer(model, opt, output_dir=out, log_every=2,
+                      checkpoint_every=2)
+
+    params, opt_state = trainer.init_state(_batch(rng))
+    params, opt_state = trainer.run(params, opt_state, _stream(rng, 4),
+                                    num_steps=4)
+    assert int(jax.device_get(opt_state["step"])) == 4
+    assert trainer.ckpt.all_steps() == [2, 4]
+
+    # metrics jsonl + tensorboard event file exist and parse
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "train_metrics.jsonl"))]
+    assert any(l["step"] == 4 for l in lines)
+    assert all(np.isfinite(l["loss"]) for l in lines)
+    assert glob.glob(os.path.join(out, "train", "events.out.tfevents.*"))
+
+    # resume: a fresh Trainer restores step 4 and continues to 6
+    trainer2 = Trainer(model, opt, output_dir=out, log_every=2,
+                      checkpoint_every=2)
+    params2, opt_state2 = trainer2.init_state(_batch(rng))
+    assert int(jax.device_get(opt_state2["step"])) == 4
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(params)[0]),
+        np.asarray(jax.tree.leaves(params2)[0]), rtol=1e-6)
+    params2, opt_state2 = trainer2.run(params2, opt_state2, _stream(rng, 6),
+                                       num_steps=6)
+    assert int(jax.device_get(opt_state2["step"])) == 6
+
+
+def test_trainer_loss_decreases_on_fixed_batch(tmp_path, rng):
+    out = str(tmp_path / "run2")
+    model = MerlotPretrainModel(CFG)
+    opt = MerlotAdamW(AdamWConfig(learning_rate=3e-3, num_train_steps=200,
+                                  num_warmup_steps=0, clip_norm=0.0))
+    trainer = Trainer(model, opt, output_dir=out, log_every=1,
+                      checkpoint_every=1000)
+    b = _batch(rng)
+    params, opt_state = trainer.init_state(b)
+    params, opt_state = trainer.run(params, opt_state,
+                                    (b for _ in range(60)), num_steps=60)
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "train_metrics.jsonl"))]
+    losses = [l["loss"] for l in lines]
+    # per-step masking rng makes single losses noisy; compare window means
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.97
+
+
+def test_tensorboard_events_parse_back(tmp_path):
+    """Our hand-rolled event files must round-trip through a TFRecord read."""
+    from merlot_tpu.train.metrics import TensorBoardWriter
+    from merlot_tpu.data.tfrecord import read_tfrecords
+    logdir = str(tmp_path / "tb")
+    w = TensorBoardWriter(logdir)
+    w.write(5, {"loss": 1.25, "lang/acc": 0.5})
+    w.close()
+    path = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))[0]
+    records = list(read_tfrecords(path, verify_crc=True))
+    assert len(records) == 2  # file_version event + our event
+    tf = pytest.importorskip("tensorflow")
+    ev = tf.compat.v1.Event()
+    ev.ParseFromString(records[1])
+    assert ev.step == 5
+    tags = {v.tag: v.simple_value for v in ev.summary.value}
+    assert tags == {"loss": 1.25, "lang/acc": 0.5}

@@ -12,13 +12,21 @@ import time
 import numpy as np
 
 
-def bench(f, *args, n=10):
+def _host_sync(out):
+    """block_until_ready is a no-op over the axon tunnel; a host transfer of
+    one element is the only reliable sync."""
     import jax
-    out = jax.block_until_ready(f(*args))
+    leaf = jax.tree.leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
+
+
+def bench(f, *args, n=10):
+    _host_sync(f(*args))  # warm (exec reaches the device)
     t0 = time.time()
+    out = None
     for _ in range(n):
         out = f(*args)
-    jax.block_until_ready(out)
+    _host_sync(out)  # device executes sequentially; last output gates all
     return (time.time() - t0) / n * 1000
 
 
@@ -27,6 +35,8 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
     from __graft_entry__ import _flagship_config
     from merlot_tpu.models.merlot import MerlotModel
     from merlot_tpu.nn.transformer import TransformerEncoder, TransformerHParams

@@ -65,7 +65,8 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
-        remat=os.environ.get("BENCH_REMAT", "0") == "1")
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        attention_softmax_fp32=os.environ.get("BENCH_SOFTMAX_FP32", "1") == "1")
     batch_sizes = tuple(
         int(x) for x in os.environ.get("BENCH_BATCH", "8,4,2,1").split(","))
     num_chunks = 16

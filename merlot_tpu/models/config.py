@@ -74,6 +74,9 @@ class MerlotConfig:
     # execution strategy (TPU-first; no reference analogue)
     scan_layers: bool = False   # lax.scan over transformer layers
     remat: bool = False         # checkpoint each layer in backward
+    # fp32 softmax (default, safer) vs compute-dtype softmax (the
+    # reference's bf16 behaviour; halves attention HBM traffic)
+    attention_softmax_fp32: bool = True
 
     # checkpoint warm start
     init_checkpoint: Optional[str] = None

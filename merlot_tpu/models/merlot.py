@@ -94,7 +94,8 @@ class MerlotModel(nn.Module):
                                  if c.vit_hidden_dropout_prob is not None
                                  else c.hidden_dropout_prob),
             attention_probs_dropout_prob=c.attention_probs_dropout_prob,
-            dtype=dtype, scan_layers=c.scan_layers, remat=c.remat)
+            dtype=dtype, scan_layers=c.scan_layers, remat=c.remat,
+            softmax_fp32=c.attention_softmax_fp32)
         self.vision_backbone = VisionBackbone(
             patch_size=c.patch_size, hidden_size=c.hidden_size,
             num_cls_emb=c.num_cls_emb, resnet_layers=tuple(c.resnet_layers),

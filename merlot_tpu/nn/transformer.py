@@ -47,6 +47,9 @@ class TransformerHParams:
     # remat at the layer boundary: recompute activations in backward to
     # trade FLOPs for HBM (jax.checkpoint / nn.remat)
     remat: bool = False
+    # fp32 softmax (safer) vs compute-dtype softmax (the reference's bf16
+    # behaviour; halves attention HBM traffic)
+    softmax_fp32: bool = True
 
 
 class SelfAttention(nn.Module):
@@ -93,7 +96,8 @@ class SelfAttention(nn.Module):
         ctx, extra = attention_core(
             q, k, v, mask, collect=collect,
             dropout_rate=0.0 if deterministic else hp.attention_probs_dropout_prob,
-            dropout_rng=drop_rng, backend=attn_backend)
+            dropout_rng=drop_rng, backend=attn_backend,
+            softmax_fp32=hp.softmax_fp32)
 
         out = DenseTN(hp.hidden_size, dtype=hp.dtype,
                       initializer_range=hp.initializer_range,

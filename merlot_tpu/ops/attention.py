@@ -45,6 +45,7 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    dropout_rate: float = 0.0,
                    dropout_rng: Optional[jax.Array] = None,
                    backend: str = "auto",
+                   softmax_fp32: bool = True,
                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled dot-product attention.
 
@@ -77,31 +78,37 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return flash_attention(q, k, v, mask, collect=collect)
 
     return _xla_attention(q, k, v, mask, collect=collect,
-                          dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+                          dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                          softmax_fp32=softmax_fp32)
 
 
-def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0, dropout_rng=None):
+def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
+                   dropout_rng=None, softmax_fp32=True):
     d_head = q.shape[-1]
     scale = 1.0 / (d_head ** 0.5)
+    # softmax_fp32=False keeps scores/probs in the compute dtype (bf16) —
+    # the reference's exact behaviour (TF softmaxes its bf16 scores in
+    # bf16), halving the [B,H,S,S] HBM traffic; fp32 is the safer default
+    sm_dtype = jnp.float32 if softmax_fp32 else q.dtype
 
-    # [B, H, Sq, Sk] scores in fp32 on the MXU
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=sm_dtype) * scale
 
     if mask is not None:
-        m = mask.astype(jnp.float32)[:, None]  # broadcast over heads
-        scores = scores * m - MASK_PENALTY * (1.0 - m)
+        m = mask.astype(sm_dtype)[:, None]  # broadcast over heads
+        scores = scores * m - jnp.asarray(MASK_PENALTY, sm_dtype) * (1 - m)
 
-    probs = jax.nn.softmax(scores, axis=-1)  # fp32
+    probs = jax.nn.softmax(scores, axis=-1)
 
     extra = None
     if collect == "colsum":
         # head-MEANED then query-summed, matching the reference's
         # compress_attn + reduce_sum([layers, queries]) pipeline
         # (transformer.py:208-211, modeling.py:428)
-        extra = jnp.sum(probs, axis=(1, 2)) / probs.shape[1]  # [B, Sk]
+        extra = (jnp.sum(probs.astype(jnp.float32), axis=(1, 2))
+                 / probs.shape[1])  # [B, Sk]
     elif collect == "probs":
-        extra = jnp.mean(probs, axis=1)  # head-meaned [B, Sq, Sk]
+        extra = jnp.mean(probs.astype(jnp.float32), axis=1)  # [B, Sq, Sk]
 
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)

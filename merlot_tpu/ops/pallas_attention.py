@@ -155,7 +155,139 @@ def _flash_fwd(q, k, v, mask, *, collect_colsum: bool, q_blk: int = 256):
 
 
 # ----------------------------------------------------------------------
-# custom VJP: recompute-based backward (XLA)
+# fused backward kernel
+# ----------------------------------------------------------------------
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, gcol_ref,
+                     dq_ref, dk_ref, dv_ref, *,
+                     scale: float, num_heads: int, use_gcol: bool,
+                     seq_len: int, q_blk: int):
+    """Flash-style backward: recompute probs blockwise in VMEM, never
+    materialize [S, S] in HBM. dK/dV accumulate across q-block grid steps
+    in revisited output blocks.
+
+      dV = P^T dO
+      dP = dO V^T (+ g_colsum/H broadcast over real query rows)
+      dS = P * (dP - rowsum(dP * P)); dS_raw = dS * mask * scale
+      dQ = dS_raw K ; dK = dS_raw^T Q
+    """
+    qb = pl.program_id(2)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)             # [q_blk, D]
+    m = mask_ref[0]                                # [q_blk, S]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    scores = scores * m - MASK_PENALTY * (1.0 - m)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.exp(scores - smax)
+    probs = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)   # [q_blk, S]
+
+    # dP
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if use_gcol:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, probs.shape, 0) \
+            + qb * q_blk
+        gcol = gcol_ref[0, 0, :][None] / num_heads            # [1, S]
+        dp = dp + jnp.where(row_ids < seq_len, gcol, 0.0)
+
+    dsum = jnp.sum(dp * probs, axis=-1, keepdims=True)
+    ds = probs * (dp - dsum)
+    ds_raw = ds * m * scale                                    # [q_blk, S]
+
+    dq = jax.lax.dot_general(ds_raw.astype(q.dtype), k,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dv_part = jax.lax.dot_general(probs.astype(q.dtype), do.astype(q.dtype),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dk_part = jax.lax.dot_general(ds_raw.astype(q.dtype), q,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] = dk_ref[0] + dk_part.astype(dk_ref.dtype)
+    dv_ref[0] = dv_ref[0] + dv_part.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, mask, g_ctx, g_colsum, *, collect_colsum: bool,
+               q_blk: int = 256):
+    b, s, h, d = q.shape
+    s_pad = _round_up(s, LANE)
+    q_blk = min(q_blk, s_pad)
+    while s_pad % q_blk:
+        q_blk -= LANE
+
+    if mask is None:
+        valid = (jnp.arange(s_pad) < s).astype(jnp.float32)
+        mask_p = jnp.broadcast_to(valid[None, None], (b, s_pad, s_pad))
+    else:
+        mask_p = jnp.pad(mask.astype(jnp.float32),
+                         ((0, 0), (0, s_pad - s), (0, s_pad - s)))
+
+    def fold(x):
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s_pad, d)
+
+    qp, kp, vp, dop = fold(q), fold(k), fold(v), fold(g_ctx)
+    if collect_colsum and g_colsum is not None:
+        gcol = jnp.pad(g_colsum.astype(jnp.float32), ((0, 0), (0, s_pad - s)))
+        gcol = jnp.broadcast_to(gcol[:, None], (b, _COLSUM_SUBLANES, s_pad))
+    else:
+        gcol = jnp.zeros((b, _COLSUM_SUBLANES, s_pad), jnp.float32)
+
+    grid = (b, h, s_pad // q_blk)
+    fold_idx = lambda bi, hi, qi, _h=h: (bi * _h + hi, qi, 0)
+    kv_idx = lambda bi, hi, qi, _h=h: (bi * _h + hi, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, q_blk, d), fold_idx),      # q
+        pl.BlockSpec((1, s_pad, d), kv_idx),        # k
+        pl.BlockSpec((1, s_pad, d), kv_idx),        # v
+        pl.BlockSpec((1, q_blk, s_pad), lambda bi, hi, qi: (bi, qi, 0)),
+        pl.BlockSpec((1, q_blk, d), fold_idx),      # dO
+        pl.BlockSpec((1, _COLSUM_SUBLANES, s_pad),
+                     lambda bi, hi, qi: (bi, 0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+                  jax.ShapeDtypeStruct((b * h, s_pad, d), jnp.float32),
+                  jax.ShapeDtypeStruct((b * h, s_pad, d), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, q_blk, d), fold_idx),      # dQ
+        pl.BlockSpec((1, s_pad, d), kv_idx),        # dK (revisited over qb)
+        pl.BlockSpec((1, s_pad, d), kv_idx),        # dV
+    ]
+
+    kernel = functools.partial(_attn_bwd_kernel, scale=1.0 / (d ** 0.5),
+                               num_heads=h,
+                               use_gcol=collect_colsum and g_colsum is not None,
+                               seq_len=s, q_blk=q_blk)
+    dq, dk, dv = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+    )(qp, kp, vp, mask_p, dop, gcol)
+
+    def unfold(x, dtype):
+        x = x.reshape(b, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
+        return x.astype(dtype)
+
+    return unfold(dq, q.dtype), unfold(dk, k.dtype), unfold(dv, v.dtype)
+
+
+# ----------------------------------------------------------------------
+# custom VJP
 # ----------------------------------------------------------------------
 def _attention_reference(q, k, v, mask):
     """Plain XLA attention used for the recompute backward."""
@@ -188,13 +320,8 @@ def _fwd(q, k, v, mask, collect_colsum):
 def _bwd(collect_colsum, residuals, grads):
     q, k, v, mask = residuals
     g_ctx, g_colsum = grads
-
-    def recompute(q, k, v):
-        ctx, colsum = _attention_reference(q, k, v, mask)
-        return ctx, colsum
-
-    _, vjp = jax.vjp(recompute, q, k, v)
-    dq, dk, dv = vjp((g_ctx, g_colsum))
+    dq, dk, dv = _flash_bwd(q, k, v, mask, g_ctx, g_colsum,
+                            collect_colsum=collect_colsum)
     return dq, dk, dv, None
 
 

@@ -100,6 +100,12 @@ def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
         mean_time[i] = float(ex[pre + "mean_time"][0])
         chunk_num[i] = int(ex[pre + "chunk_num"][0])
 
+    # youtube id as a fixed-size uint8 array (encode_string analogue,
+    # reference: utils/model_utils.py:628-637 + dataloader.py:66)
+    yid = ex["c00/youtube_id"][0][:64] if "c00/youtube_id" in ex else b""
+    youtube_id = np.zeros(64, np.uint8)
+    youtube_id[:len(yid)] = np.frombuffer(yid, np.uint8)
+
     delta = np.concatenate([[0], is_eoc[:-1].astype(np.int32)])
     out = {
         "images": imgs,
@@ -108,6 +114,7 @@ def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
         "video_src_ids": np.cumsum(delta).astype(np.int32),
         "mean_time": mean_time,
         "chunk_num": chunk_num,
+        "youtube_id": np.broadcast_to(youtube_id, (num_chunks, 64)).copy(),
     }
     # unbatch path for huge per-example chunk counts (reference:
     # model/dataloader.py:190-207): split one num_chunks example into
@@ -137,7 +144,7 @@ def shuffle_chunks(batch: Dict[str, np.ndarray],
     idx = np.argsort(trg_idx, axis=1)
     out = dict(batch)
     for k in ("images", "input_ids", "is_eoc", "video_src_ids", "mean_time",
-              "chunk_num"):
+              "chunk_num", "youtube_id"):
         if k in out:
             out[k] = np.take_along_axis(
                 out[k], idx.reshape(idx.shape + (1,) * (out[k].ndim - 2)), axis=1)

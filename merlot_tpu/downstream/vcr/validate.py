@@ -27,19 +27,36 @@ from merlot_tpu.train.metrics import MetricsLogger
 
 def evaluate_checkpoint(model: VCRModel, params, files, config,
                         batch_size: int, mode: str,
-                        max_examples: Optional[int] = None) -> float:
+                        max_examples: Optional[int] = None,
+                        predictions_path: Optional[str] = None) -> float:
+    """Accuracy over the eval set; optionally dump per-example predictions
+    + log-probs + annot_ids as jsonl (the reference PREDICT-mode export for
+    leaderboard submissions, downstream/vcr/modeling.py:195-198)."""
+    import json
     eval_fn = jax.jit(lambda p, img, ids: model.apply(
         {"params": p}, img, ids, mode=mode))
     n_correct = 0
     n_total = 0
+    pred_f = open(predictions_path, "w") if predictions_path else None
     for batch in vcr_eval_batches(files, config, batch_size, mode=mode):
-        logits = eval_fn(params, jnp.asarray(batch["images"]),
-                         jnp.asarray(batch["lm_input"]))
-        pred = np.argmax(np.asarray(logits), -1)
+        logits = np.asarray(eval_fn(params, jnp.asarray(batch["images"]),
+                                    jnp.asarray(batch["lm_input"])))
+        pred = np.argmax(logits, -1)
+        if pred_f is not None:
+            logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True))
+                                   .sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+            for i in range(len(pred)):
+                pred_f.write(json.dumps({
+                    "annot_id": batch["annot_id"][i].decode(),
+                    "prediction": int(pred[i]),
+                    "label": int(batch["lm_targets"][i]),
+                    "log_probs": [float(x) for x in logp[i]]}) + "\n")
         n_correct += int((pred == batch["lm_targets"]).sum())
         n_total += len(pred)
         if max_examples and n_total >= max_examples:
             break
+    if pred_f is not None:
+        pred_f.close()
     return n_correct / max(n_total, 1)
 
 

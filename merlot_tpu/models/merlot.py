@@ -168,6 +168,8 @@ class MerlotModel(nn.Module):
         a TF1-era workaround.
         """
         L = ids_2d.shape[1]
+        assert L <= self.cfg.max_position_embeddings, \
+            (L, self.cfg.max_position_embeddings)
         word = jnp.take(self.word_embeddings, ids_2d, axis=0)
         if which == "joint":
             pos = self.joint_pos_table[:L][None]

@@ -332,3 +332,35 @@ def write_pretrain_shard(videos: Iterator, out_path: str,
                 buffer.extend(chunks)
                 flush()
     return n_written
+
+
+def main(argv=None):
+    """CLI: (video.mp4, video.grover.json) pairs -> a pretrain shard.
+
+    The data/process.py example-driver analogue: each json carries
+    'subtitles' ([{word, time}]), 'denoised' ([{cleanasr}]) and 'info'
+    ({id, title, duration}) as produced by the Grover denoiser service.
+    """
+    import argparse
+    import json
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--videos", nargs="+", required=True,
+                    help="video files; '<stem>.grover.json' must sit beside each")
+    ap.add_argument("--out", default="out.tfrecord")
+    ap.add_argument("--num_chunks", type=int, default=NUM_CHUNKS)
+    ap.add_argument("--shuffle_buffer", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    def videos():
+        for vf in args.videos:
+            info_fn = vf.rsplit(".", 1)[0] + ".grover.json"
+            with open(info_fn) as f:
+                yield json.load(f), vf
+
+    n = write_pretrain_shard(videos(), args.out, num_chunks=args.num_chunks,
+                             shuffle_buffer=args.shuffle_buffer)
+    print(f"wrote {n} examples to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,26 @@ def write_story_tfrecords(story_json_path: str, image_directory: str,
     return n
 
 
+def main(argv=None):
+    """CLI: VIST SIS json + image dir -> permutation tfrecords, fold-parallel
+    (the make_tfrecord.py analogue; run one process per fold)."""
+    import argparse
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--story_json", required=True)
+    ap.add_argument("--image_dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--fold", type=int, default=0)
+    ap.add_argument("--num_folds", type=int, default=1)
+    ap.add_argument("--just_one_perm", action="store_true")
+    ap.add_argument("--pad_to_batch_size", type=int, default=None)
+    args = ap.parse_args(argv)
+    n = write_story_tfrecords(args.story_json, args.image_dir, args.out,
+                              just_one_perm=args.just_one_perm,
+                              fold=args.fold, num_folds=args.num_folds,
+                              pad_to_batch_size=args.pad_to_batch_size)
+    print(f"wrote {n} examples to {args.out}")
+
+
 def write_synthetic_story_shard(path: str, num_stories: int = 2,
                                 just_one_perm: bool = True, seed: int = 0,
                                 img_hw=(64, 80)) -> int:
@@ -125,3 +145,7 @@ def write_synthetic_story_shard(path: str, num_stories: int = 2,
                 w.write(story_example(sid, texts, jpegs, list(perm)))
                 n += 1
     return n
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,7 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    dropout_rng: Optional[jax.Array] = None,
                    backend: str = "auto",
                    softmax_fp32: bool = True,
+                   mask_format: str = "multiplicative",
                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled dot-product attention.
 
@@ -74,16 +75,18 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         backend = "xla"
 
     if backend == "pallas" and fusable:
+        assert mask_format == "multiplicative"
         from merlot_tpu.ops.pallas_attention import flash_attention
         return flash_attention(q, k, v, mask, collect=collect)
 
     return _xla_attention(q, k, v, mask, collect=collect,
                           dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-                          softmax_fp32=softmax_fp32)
+                          softmax_fp32=softmax_fp32, mask_format=mask_format)
 
 
 def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
-                   dropout_rng=None, softmax_fp32=True):
+                   dropout_rng=None, softmax_fp32=True,
+                   mask_format="multiplicative"):
     d_head = q.shape[-1]
     scale = 1.0 / (d_head ** 0.5)
     # softmax_fp32=False keeps scores/probs in the compute dtype (bf16) —
@@ -94,7 +97,12 @@ def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=sm_dtype) * scale
 
-    if mask is not None:
+    if mask is not None and mask_format == "bias":
+        # mask IS a precomputed additive bias (0 attend / -1e10 blocked);
+        # same softmax as the multiply form except on fully-masked rows,
+        # whose outputs nothing consumes. Saves a [B,H,S,S] multiply.
+        scores = scores + mask.astype(sm_dtype)[:, None]
+    elif mask is not None:
         m = mask.astype(sm_dtype)[:, None]  # broadcast over heads
         scores = scores * m - jnp.asarray(MASK_PENALTY, sm_dtype) * (1 - m)
 

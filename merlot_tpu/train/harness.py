@@ -110,3 +110,32 @@ class Trainer:
                 print(f"trained {step - start_step} steps in {dt:.1f}s "
                       f"({(step - start_step) / dt:.3f} steps/s)")
         return params, opt_state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params, batches: Iterator[Dict[str, Any]],
+                 max_batches: Optional[int] = None,
+                 log_step: Optional[int] = None) -> Dict[str, float]:
+        """Held-out evaluation: mean of every scalar metric over batches
+        (the reference EVAL mode's tf.metrics.mean wrapping,
+        model/modeling.py:788-800). Deterministic forward, fixed mask rng."""
+        eval_fn = jax.jit(lambda p, b: self.model.apply(
+            {"params": p}, b, deterministic=True,
+            rngs={"masking": jax.random.PRNGKey(0)})[:2])
+
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(batches):
+            if max_batches is not None and i >= max_batches:
+                break
+            loss, metrics = jax.device_get(eval_fn(params, batch))
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        if log_step is not None and n:
+            self.logger.log(log_step, {f"eval/{k}": v
+                                       for k, v in means.items()},
+                            echo=True)
+        return means

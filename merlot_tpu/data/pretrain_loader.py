@@ -263,16 +263,17 @@ class PretrainLoader:
                 pool = ThreadPoolExecutor(self.num_threads)
                 pending: List = []
                 records = self._shuffled_records(rng)
-                parse_rngs = [np.random.default_rng(self.seed + 1 + i)
-                              for i in range(self.num_threads * 2)]
-                ri = 0
+                # one child Generator per task: np.random.Generator is NOT
+                # thread-safe, and more tasks than generators can be in
+                # flight at once
+                seed_seq = np.random.SeedSequence(self.seed + 1)
                 for rec in records:
                     if stop.is_set():
                         break
+                    (child,) = seed_seq.spawn(1)
                     pending.append(pool.submit(
                         parse_pretrain_example, rec, self.config,
-                        parse_rngs[ri % len(parse_rngs)], self.is_training))
-                    ri += 1
+                        np.random.default_rng(child), self.is_training))
                     if len(pending) >= self.batch_size:
                         examples = []
                         for p in pending[:self.batch_size]:

@@ -11,12 +11,9 @@ from __future__ import annotations
 
 import os
 
-import jax
-
 from merlot_tpu.core.config import NeatConfig
 from merlot_tpu.downstream.sort_story.dataloader import story_batches
-from merlot_tpu.downstream.sort_story.zero_shot import (make_zero_shot_fn,
-                                                        run_zero_shot)
+from merlot_tpu.downstream.sort_story.zero_shot import run_zero_shot
 from merlot_tpu.models.config import MerlotConfig
 from merlot_tpu.train.checkpoint import CheckpointManager
 

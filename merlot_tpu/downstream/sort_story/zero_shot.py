@@ -14,7 +14,7 @@ Per batch:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import io
 import json
 import os
 import re
-from copy import deepcopy
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

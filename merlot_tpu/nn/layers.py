@@ -8,7 +8,7 @@ flax's dtype/param_dtype split expresses this natively.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ TPU-first divergences (deliberate):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 import flax.linen as nn

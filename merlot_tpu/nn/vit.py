@@ -25,7 +25,7 @@ from typing import Any, Dict, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from merlot_tpu.nn.layers import (DenseTN, GroupNorm, LayerNorm, WSConv,
+from merlot_tpu.nn.layers import (GroupNorm, LayerNorm, WSConv,
                                   avg_pool_same, avg_pool_valid, trunc_normal)
 from merlot_tpu.nn.transformer import TransformerEncoder, TransformerHParams
 

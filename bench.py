@@ -44,6 +44,48 @@ def _load_prev_baseline() -> float | None:
     return None
 
 
+def bench_vit_encode():
+    """Secondary metric (BASELINE.json config 2): ViT grid-feature encode
+    throughput, frames/sec, single chip. Run with BENCH_MODE=vit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from __graft_entry__ import _flagship_config
+    from merlot_tpu.models.config import MerlotConfig
+    from merlot_tpu.nn.transformer import TransformerHParams
+    from merlot_tpu.nn.vit import VisionBackbone
+
+    cfg = _flagship_config()
+    hp = TransformerHParams(hidden_size=768, num_layers=12, num_heads=12,
+                            intermediate_size=3072, hidden_dropout_prob=0.0,
+                            dtype=jnp.bfloat16,
+                            softmax_fp32=cfg.attention_softmax_fp32)
+    vb = VisionBackbone(patch_size=16, hidden_size=768, num_cls_emb=2,
+                        resnet_layers=(3, 4, 9), spatial_pool_size=2,
+                        vit_hp=hp)
+    n_frames = int(os.environ.get("BENCH_VIT_FRAMES", "256"))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (n_frames, 192, 352, 3)),
+                         jnp.float32)
+    v = jax.jit(lambda x: vb.init(jax.random.PRNGKey(0), x))(images)
+    fwd = jax.jit(lambda v, x: vb.apply(v, x)["cls"])
+    # host-transfer sync (block_until_ready is a no-op over the tunnel)
+    float(fwd(v, images)[0, 0, 0])
+    n_iters = 10
+    t0 = time.time()
+    out = None
+    for _ in range(n_iters):
+        out = fwd(v, images)
+    float(out[0, 0, 0])
+    dt = (time.time() - t0) / n_iters
+    value = n_frames / dt
+    log(f"ViT encode: {dt * 1000:.1f} ms for {n_frames} frames")
+    print(json.dumps({"metric": "vit_encode_frames_per_sec", "value": round(value, 1),
+                      "unit": "frames/s/chip", "vs_baseline": 1.0}))
+
+
 def main():
     import dataclasses
 
@@ -129,4 +171,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "vit":
+        bench_vit_encode()
+    else:
+        main()

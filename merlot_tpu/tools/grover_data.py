@@ -38,6 +38,49 @@ def write_lm_shard(path: str, sequences: Sequence[Sequence[int]],
     return n
 
 
+def write_classification_shard(path: str, sequences: Sequence[Sequence[int]],
+                               labels: Sequence[int], seq_length: int,
+                               pad_id: int = 0) -> int:
+    """Classification examples: input_ids [seq_length], label_ids,
+    is_real_example (reference: lm/dataloader.py:131-161)."""
+    n = 0
+    with TFRecordWriter(path) as w:
+        for seq, label in zip(sequences, labels):
+            ids = np.full(seq_length, pad_id, np.int64)
+            ids[:min(len(seq), seq_length)] = seq[:seq_length]
+            w.write(encode_example({"input_ids": list(ids),
+                                    "label_ids": [int(label)],
+                                    "is_real_example": [1]}))
+            n += 1
+    return n
+
+
+def classification_batches(files: Sequence[str], seq_length: int,
+                           batch_size: int, is_training: bool = True,
+                           seed: int = 0, repeat: Optional[bool] = None
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+    """Batches of {'input_ids', 'label_ids', 'is_real_example'} — pool with
+    merlot_tpu.models.grover.pooled_hidden for the classifier head."""
+    files = shard_files(files, shuffle=is_training, seed=seed)
+    repeat = is_training if repeat is None else repeat
+    buf: List[Dict[str, np.ndarray]] = []
+    while True:
+        for f in files:
+            for rec in read_tfrecords(f):
+                ex = parse_example(rec)
+                buf.append({
+                    "input_ids": np.asarray(ex["input_ids"], np.int32),
+                    "label_ids": np.int32(ex["label_ids"][0]),
+                    "is_real_example": np.int32(ex["is_real_example"][0]),
+                })
+                assert buf[-1]["input_ids"].shape == (seq_length,)
+                if len(buf) == batch_size:
+                    yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
+                    buf = []
+        if not repeat:
+            return
+
+
 def lm_batches(files: Sequence[str], seq_length: int, batch_size: int,
                is_training: bool = True, seed: int = 0,
                repeat: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:

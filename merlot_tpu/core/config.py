@@ -28,14 +28,20 @@ OPTIONAL_SECTIONS = ("downstream", "validate", "misc")
 
 
 def _expand_glob(pattern: str):
-    """Expand a comma-separated list of glob patterns to a file list."""
+    """Expand a comma-separated list of glob patterns (local or gs://...)."""
     out = []
     for piece in pattern.split(","):
         piece = piece.strip()
         if not piece:
             continue
-        matches = sorted(_glob.glob(piece))
-        out.extend(matches if matches else [])
+        if "://" in piece:  # remote filesystems via fsspec (tf.gfile analogue)
+            import fsspec
+            fs, _, paths = fsspec.get_fs_token_paths(piece)
+            proto = piece.split("://", 1)[0]
+            out.extend(f"{proto}://{p}" for p in sorted(paths)
+                       if fs.exists(p))
+        else:
+            out.extend(sorted(_glob.glob(piece)))
     return out
 
 

@@ -67,9 +67,18 @@ def masked_crc(data: bytes) -> int:
 # ----------------------------------------------------------------------
 # TFRecord framing
 # ----------------------------------------------------------------------
+def _open(path: str, mode: str):
+    """Local or remote (gs://, s3://...) file handle — the tf.gfile analogue
+    (reference: utils/data_utils.py GCS paths)."""
+    if "://" in path:
+        import fsspec
+        return fsspec.open(path, mode).open()
+    return open(path, mode)
+
+
 class TFRecordWriter:
     def __init__(self, path: str):
-        self._f = open(path, "wb")
+        self._f = _open(path, "wb")
 
     def write(self, payload: bytes) -> None:
         length = struct.pack("<Q", len(payload))
@@ -93,14 +102,14 @@ def read_tfrecords(path: str, verify_crc: bool = False) -> Iterator[bytes]:
 
     Uses the native framing scanner when built (one C pass computing spans
     + length CRCs, then zero-copy-ish slicing of a single bulk read)."""
-    if _native_spans is not None:
+    if _native_spans is not None and "://" not in path:
         spans = _native_spans(path, verify_crc)
         with open(path, "rb") as f:
             raw = f.read()
         for off, length in spans:
             yield raw[off:off + length]
         return
-    with open(path, "rb") as f:
+    with _open(path, "rb") as f:
         while True:
             header = f.read(12)
             if len(header) < 12:

@@ -30,6 +30,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Join the multi-host JAX runtime (pod-scale DCN coordination).
+
+    The TPUEstimator/TPUClusterResolver analogue: on Cloud TPU pods,
+    jax.distributed.initialize() autodetects everything; explicit args
+    support other launchers. Call once per process before any jax use;
+    afterwards jax.devices() spans the pod and the same jit train step
+    scales — GSPMD keeps intra-slice collectives on ICI.
+    """
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(data: Optional[int] = None, model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, model) mesh over the given (default: all) devices."""

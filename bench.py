@@ -104,11 +104,13 @@ def main():
 
     cfg = _flagship_config()
     # experiment knobs (defaults = shipping config)
+    # defaults = the measured-best training config (PERF.md): unrolled,
+    # no remat, bf16 softmax, per-chip batch 8
     cfg = dataclasses.replace(
         cfg,
-        scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
+        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        attention_softmax_fp32=os.environ.get("BENCH_SOFTMAX_FP32", "1") == "1")
+        attention_softmax_fp32=os.environ.get("BENCH_SOFTMAX_FP32", "0") == "1")
     batch_sizes = tuple(
         int(x) for x in os.environ.get("BENCH_BATCH", "8,4,2,1").split(","))
     num_chunks = 16

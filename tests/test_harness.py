@@ -106,3 +106,33 @@ def test_tensorboard_events_parse_back(tmp_path):
     assert ev.step == 5
     tags = {v.tag: v.simple_value for v in ev.summary.value}
     assert tags == {"loss": 1.25, "lang/acc": 0.5}
+
+
+def test_resume_is_bit_exact(tmp_path, rng):
+    """Training N steps straight == training k, checkpointing, restoring,
+    and training N-k more (per-step rng folds from the step counter, so the
+    trajectories must be IDENTICAL, not just close)."""
+    model = MerlotPretrainModel(CFG)
+    opt = MerlotAdamW(AdamWConfig(learning_rate=1e-3, num_train_steps=10,
+                                  num_warmup_steps=0, clip_norm=0.0))
+    b = _batch(rng)
+
+    t1 = Trainer(model, opt, output_dir=str(tmp_path / "a"),
+                 log_every=10, checkpoint_every=10)
+    p1, s1 = t1.init_state(b)
+    p1, s1 = t1.run(p1, s1, (b for _ in range(4)), num_steps=4)
+
+    t2 = Trainer(model, opt, output_dir=str(tmp_path / "b"),
+                 log_every=10, checkpoint_every=2)
+    p2, s2 = t2.init_state(b)
+    p2, s2 = t2.run(p2, s2, (b for _ in range(2)), num_steps=2)
+    # fresh trainer restores from the step-2 checkpoint and continues
+    t3 = Trainer(model, opt, output_dir=str(tmp_path / "b"),
+                 log_every=10, checkpoint_every=10)
+    p3, s3 = t3.init_state(b)
+    assert int(jax.device_get(s3["step"])) == 2
+    p3, s3 = t3.run(p3, s3, (b for _ in range(2)), num_steps=4)
+
+    for a, c in zip(jax.tree.leaves(jax.device_get(p1)),
+                    jax.tree.leaves(jax.device_get(p3))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

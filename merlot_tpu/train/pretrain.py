@@ -69,8 +69,26 @@ def main(argv=None):
         yield first
         yield from batches
 
-    trainer.run(params, opt_state, with_first(),
-                num_steps=config.optimizer["num_train_steps"])
+    params, opt_state = trainer.run(
+        params, opt_state, with_first(),
+        num_steps=config.optimizer["num_train_steps"])
+
+    # held-out evaluation (the reference EVAL mode) when a val set exists
+    val_files = config.data.get("val_file_expanded") or []
+    if val_files:
+        merged = config.merged_data_model()
+        val_loader = PretrainLoader(
+            val_files, merged,
+            batch_size=config.device.get("val_batch_size", 8),
+            is_training=False, num_threads=config.data.get("num_threads", 8),
+            shuffle_buffer=0, repeat=False)
+        eval_samples = config.validate.get("eval_samples")
+        vbs = config.device.get("val_batch_size", 8)
+        means = trainer.evaluate(
+            params, (jax.device_put(b) for b in val_loader),
+            max_batches=(eval_samples // vbs) if eval_samples else None,
+            log_step=int(jax.device_get(opt_state["step"])))
+        print("eval:", {k: round(v, 4) for k, v in sorted(means.items())})
 
 
 if __name__ == "__main__":

@@ -250,20 +250,21 @@ class TransformerEncoder(nn.Module):
             for i in range(n):
                 layer_cls = TransformerLayer
                 if self.hp.remat and cache is None:
-                    # collect/deterministic/attn_backend are static strings
+                    # collect/deterministic/attn_backend/mask_format are
+                    # static strings
                     layer_cls = nn.remat(layer_cls, prevent_cse=False,
-                                         static_argnums=(3, 4, 5))
+                                         static_argnums=(3, 4, 5, 6))
                 layer = layer_cls(self.hp, name=f"layer{i:02d}")
                 if cache is not None:
                     layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
                     x, (extra, nc) = layer(x, mask, collect, deterministic,
-                                           attn_backend, x_enc=x_enc,
-                                           cache=layer_cache,
+                                           attn_backend, mask_format,
+                                           x_enc=x_enc, cache=layer_cache,
                                            cache_pos=cache_pos)
                     new_caches.append(nc)
                 else:
                     x, extra = layer(x, mask, collect, deterministic,
-                                     attn_backend, x_enc=x_enc)
+                                     attn_backend, mask_format, x_enc=x_enc)
                 if collect == "colsum":
                     colsum = extra if colsum is None else colsum + extra
                 elif collect == "probs":

@@ -76,6 +76,33 @@ def test_encoder_cache_decode_matches_full(rng):
     np.testing.assert_allclose(decoded, np.asarray(full), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("remat", [False, True])
+def test_bias_mask_path_matches_multiplicative(rng, remat):
+    """Regression: the unrolled loop must forward mask_format to the layers.
+
+    The encoder pre-converts the validity mask to an additive bias on the
+    collect='none' path (transformer.py) but keeps the multiply form on the
+    colsum path; the hidden states must nonetheless be identical. Round-1 bug:
+    the unrolled call sites dropped mask_format, so the bias (0/-1e10) was
+    applied multiplicatively and every valid logit collapsed to -1e10
+    (uniform attention). Needs non-tiny weights to be visible, hence
+    initializer_range=0.5.
+    """
+    hp = TransformerHParams(hidden_size=32, num_layers=2, num_heads=2,
+                            intermediate_size=64, hidden_dropout_prob=0.0,
+                            initializer_range=0.5, dtype=jnp.float32,
+                            remat=remat)
+    enc = TransformerEncoder(hp)
+    x = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 6, 6)) < 0.6, jnp.float32)
+    mask = jnp.maximum(mask, jnp.eye(6)[None])  # keep every row non-empty
+    v = enc.init(jax.random.PRNGKey(1), x, mask)
+    h_bias = enc.apply(v, x, mask, collect="none")["hidden_state"]
+    h_mult = enc.apply(v, x, mask, collect="colsum")["hidden_state"]
+    np.testing.assert_allclose(np.asarray(h_bias), np.asarray(h_mult),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_loader_unbatch_path(tmp_path):
     from merlot_tpu.data.make_synthetic_tfrecord import write_synthetic_shard
     from merlot_tpu.data.pretrain_loader import PretrainLoader

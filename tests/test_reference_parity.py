@@ -1,0 +1,58 @@
+"""Composition-level parity against the reference's OWN TF graph.
+
+Round-1's TF-oracle test re-expressed the reference math by hand (blind to
+shared misreadings); these tests instead run the reference's own code
+(/root/reference/model/modeling.py) via the tf.compat.v1 shim in a
+subprocess (tools/tf1_name_oracle.py) and compare:
+
+  * variable names+shapes against the converter maps — exact bijection at
+    the released configs (merlot.yaml + grover medium.json);
+  * a full fp32 inference forward (encoder_hidden_states + both
+    allpairs_temporal_logits heads, the zero-shot PREDICT path) at a tiny
+    config — the reference's random-init weights converted through the name
+    map must reproduce its outputs through our model.
+
+The TF side always runs in a subprocess: the shim rebinds
+sys.modules['tensorflow'] and disables v2 behavior process-wide.
+"""
+
+import os
+import subprocess
+import sys
+
+TINY = {
+    "hidden_size": 64, "num_attention_heads": 4, "intermediate_size": 128,
+    "num_hidden_layers": 2, "num_vision_transformer_hidden_layers": 2,
+    "num_lang_transformer_hidden_layers": 2, "image_size": [64, 96],
+    "resnet_layers": [1, 1, 1], "num_chunks_in_group": 4,
+}
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_name_maps_bijective_on_reference_graphs():
+    """merlot_tf_name_map / grover_tf_name_map == the reference graphs'
+    variable sets, shape-checked both ways, at the released full configs."""
+    r = subprocess.run(
+        [sys.executable, "-m", "merlot_tpu.tools.validate_name_map"],
+        capture_output=True, text=True, env=_cpu_env(), timeout=420)
+    assert r.returncode == 0, f"\nSTDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr[-2000:]}"
+    assert "merlot: tf_vars=605" in r.stdout
+    assert "grover: tf_vars=388" in r.stdout
+
+
+def test_forward_parity_vs_reference_code(tmp_path):
+    """Reference random-init fp32 forward == ours after weight conversion."""
+    from merlot_tpu.tools.checkpoint_parity import (compare_forward_dump,
+                                                    run_reference_dump)
+    npz = str(tmp_path / "dump.npz")
+    run_reference_dump(npz, TINY, timeout=420)
+    report = compare_forward_dump(npz, TINY)
+    assert set(report) == {"hidden_lang", "hidden_viz",
+                           "allpairs_lang_viz", "allpairs_viz_viz"}
+    for name, r in report.items():
+        assert r["max_abs"] < 5e-3, (name, r)

@@ -209,7 +209,8 @@ class PretrainLoader:
                  host_id: int = 0, num_hosts: int = 1,
                  num_threads: int = 8, shuffle_buffer: int = 256,
                  prefetch: int = 2, seed: int = 0,
-                 repeat: Optional[bool] = None):
+                 repeat: Optional[bool] = None,
+                 cycle_length: int = 16):
         self.files = shard_files(files, host_id, num_hosts,
                                  shuffle=is_training, seed=seed)
         if not self.files:
@@ -222,20 +223,24 @@ class PretrainLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.repeat = is_training if repeat is None else repeat
+        self.cycle_length = cycle_length
 
     def _record_stream(self) -> Iterator[bytes]:
-        """Round-robin interleave over files (parallel_interleave analogue)."""
-        epoch = 0
+        """Interleave over at most ``cycle_length`` files at a time, pulling
+        the next file as one exhausts — bounded open handles at
+        thousands-of-shards scale, like the reference's parallel_interleave
+        (model/dataloader.py:174-178)."""
         while True:
-            iters = [read_tfrecords(f) for f in self.files]
-            live = list(range(len(iters)))
-            while live:
-                for i in list(live):
+            todo = list(self.files)
+            active: List[Iterator[bytes]] = []
+            while todo or active:
+                while todo and len(active) < self.cycle_length:
+                    active.append(read_tfrecords(todo.pop(0)))
+                for it in list(active):
                     try:
-                        yield next(iters[i])
+                        yield next(it)
                     except StopIteration:
-                        live.remove(i)
-            epoch += 1
+                        active.remove(it)
             if not self.repeat:
                 return
 
@@ -258,10 +263,22 @@ class PretrainLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def guarded_put(item) -> bool:
+            """put() that never deadlocks a daemon thread: rechecks stop
+            while the queue is full (the consumer may have abandoned us)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 pool = ThreadPoolExecutor(self.num_threads)
                 pending: List = []
+                ready: List[Dict[str, np.ndarray]] = []  # parsed (sub)examples
                 records = self._shuffled_records(rng)
                 # one child Generator per task: np.random.Generator is NOT
                 # thread-safe, and more tasks than generators can be in
@@ -275,17 +292,31 @@ class PretrainLoader:
                         parse_pretrain_example, rec, self.config,
                         np.random.default_rng(child), self.is_training))
                     if len(pending) >= self.batch_size:
-                        examples = []
                         for p in pending[:self.batch_size]:
                             r = p.result()
-                            examples.extend(r if isinstance(r, list) else [r])
+                            # unbatch_size>1 splits one source example into
+                            # independent examples (reference unbatches then
+                            # re-batches, model/dataloader.py:190-207) — the
+                            # emitted batch size stays batch_size
+                            ready.extend(r if isinstance(r, list) else [r])
                         pending = pending[self.batch_size:]
-                        batch = collate_pretrain_batch(
-                            examples, self.config, rng, self.is_training)
-                        out_q.put(batch)
+                        while len(ready) >= self.batch_size:
+                            batch = collate_pretrain_batch(
+                                ready[:self.batch_size], self.config, rng,
+                                self.is_training)
+                            ready = ready[self.batch_size:]
+                            if not guarded_put(batch):
+                                break
+                # drain a final partial-free flush of whole batches
+                while len(ready) >= self.batch_size and not stop.is_set():
+                    batch = collate_pretrain_batch(
+                        ready[:self.batch_size], self.config, rng,
+                        self.is_training)
+                    ready = ready[self.batch_size:]
+                    guarded_put(batch)
                 pool.shutdown(wait=False)
             finally:
-                out_q.put(None)
+                guarded_put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -229,11 +229,19 @@ def split_video_into_chunks(item: Dict[str, Any],
 class ShufflingTFRecordWriter:
     """Shuffle-buffered writer (the reference's GCSTFRecordWriter,
     utils/data_utils.py:10-72, minus the GCS upload — pass a local path or
-    mount GCS via fuse/fsspec)."""
+    mount GCS via fuse/fsspec).
 
-    def __init__(self, path: str, buffer_size: int = 1):
+    DELIBERATE REFERENCE QUIRK, opt-in: the reference's full-buffer branch
+    (utils/data_utils.py:41-46) pops 20% of the buffer but never appends the
+    incoming record — silently DROPPING ~1 record per flush cycle (~5% of
+    the corpus at buffer_size=100). ``faithful_drop=True`` reproduces that
+    for byte-level pipeline comparisons; the default keeps every record."""
+
+    def __init__(self, path: str, buffer_size: int = 1,
+                 faithful_drop: bool = False):
         self._w = TFRecordWriter(path)
         self.buffer_size = buffer_size
+        self.faithful_drop = faithful_drop
         self.buffer: List[bytes] = []
 
     def write(self, payload: bytes) -> None:
@@ -246,6 +254,8 @@ class ShufflingTFRecordWriter:
             random.shuffle(self.buffer)
             for _ in range(self.buffer_size // 5):  # pop 20%
                 self._w.write(self.buffer.pop())
+            if not self.faithful_drop:
+                self.buffer.append(payload)  # the reference loses this one
 
     def close(self) -> None:
         if self.buffer_size > 1:

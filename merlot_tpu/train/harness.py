@@ -102,6 +102,16 @@ class Trainer:
                     self.logger.log(step, host_metrics)
 
                 if step % self.checkpoint_every == 0 or step == num_steps:
+                    # guard the write: a poisoned state must never be
+                    # checkpointed, even when checkpoint_every < log_every
+                    # (this step's loss is device-resident; one cheap
+                    # transfer on the checkpoint boundary only)
+                    loss = float(jax.device_get(metrics["loss"]))
+                    if not np.isfinite(loss):
+                        self.logger.log(step, jax.device_get(metrics))
+                        raise FloatingPointError(
+                            f"non-finite loss {loss} at step {step}; "
+                            f"refusing to checkpoint")
                     self.ckpt.save(step, {"params": jax.device_get(params),
                                           "opt_state": jax.device_get(opt_state)})
 

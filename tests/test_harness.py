@@ -136,3 +136,26 @@ def test_resume_is_bit_exact(tmp_path, rng):
     for a, c in zip(jax.tree.leaves(jax.device_get(p1)),
                     jax.tree.leaves(jax.device_get(p3))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_nan_guard_blocks_checkpoint(tmp_path, rng):
+    """A non-finite loss at a checkpoint step must raise BEFORE the write —
+    even when checkpoint_every < log_every (round-1 gap: the guard only
+    fired on the log boundary, so a poisoned state could be saved)."""
+    model = MerlotPretrainModel(CFG)
+    opt = MerlotAdamW(AdamWConfig(learning_rate=1e-3, num_warmup_steps=1,
+                                  num_train_steps=10))
+    out = str(tmp_path / "nan")
+    trainer = Trainer(model, opt, output_dir=out, log_every=100,
+                      checkpoint_every=2)
+    params, opt_state = trainer.init_state(_batch(rng))
+
+    def poisoned_stream():
+        yield _batch(rng)
+        b = _batch(rng)
+        b["images"] = b["images"].at[0, 0, 0, 0].set(jnp.nan)
+        yield b
+
+    with pytest.raises(FloatingPointError):
+        trainer.run(params, opt_state, poisoned_stream(), num_steps=10)
+    assert trainer.ckpt.latest_step() is None  # nothing was written

@@ -91,3 +91,28 @@ def test_get_size_for_resize():
     assert get_size_for_resize((640, 640)) == (384, 384)
     assert get_size_for_resize((300, 200)) == (300, 200)   # never upscale
     assert get_size_for_resize((720, 1280)) == (288, 512)
+
+
+def test_shuffling_writer_keeps_every_record(tmp_path):
+    """Default mode must not reproduce the reference's record-dropping bug
+    (utils/data_utils.py:41-46: full-buffer branch pops 20% but never
+    appends the incoming payload)."""
+    from merlot_tpu.data.process import ShufflingTFRecordWriter
+    from merlot_tpu.data.tfrecord import read_tfrecords
+
+    n = 500
+    path = str(tmp_path / "keep.tfrecord")
+    with ShufflingTFRecordWriter(path, buffer_size=100) as w:
+        for i in range(n):
+            w.write(f"rec{i:04d}".encode())
+    got = sorted(read_tfrecords(path))
+    assert len(got) == n
+    assert got == sorted(f"rec{i:04d}".encode() for i in range(n))
+
+    # the reference quirk, reproduced only on request
+    path2 = str(tmp_path / "drop.tfrecord")
+    with ShufflingTFRecordWriter(path2, buffer_size=100,
+                                 faithful_drop=True) as w:
+        for i in range(n):
+            w.write(f"rec{i:04d}".encode())
+    assert len(list(read_tfrecords(path2))) < n

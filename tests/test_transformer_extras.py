@@ -113,7 +113,11 @@ def test_loader_unbatch_path(tmp_path):
            "unbatch_size": 2, "shuffle_chunks": False}
     loader = PretrainLoader([shard], cfg, batch_size=1, num_threads=1,
                             shuffle_buffer=0, seed=0, repeat=False)
-    b = next(iter(loader))
-    # one source example of 8 chunks -> 2 sub-examples of 4 chunks
-    assert b["input_ids"].shape == (2, 4, 8)
-    assert b["images"].shape == (8, 32, 48, 3)
+    batches = list(loader)
+    # 2 source examples of 8 chunks -> 4 independent 4-chunk examples,
+    # emitted at the configured batch_size (reference unbatch semantics,
+    # model/dataloader.py:190-207: batch size is NOT multiplied)
+    assert len(batches) == 4
+    for b in batches:
+        assert b["input_ids"].shape == (1, 4, 8)
+        assert b["images"].shape == (4, 32, 48, 3)

@@ -110,6 +110,7 @@ def main():
         cfg,
         scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY") or None,
         attention_softmax_fp32=os.environ.get("BENCH_SOFTMAX_FP32", "0") == "1")
     batch_sizes = tuple(
         int(x) for x in os.environ.get("BENCH_BATCH", "8,4,2,1").split(","))

@@ -74,6 +74,9 @@ class MerlotConfig:
     # execution strategy (TPU-first; no reference analogue)
     scan_layers: bool = False   # lax.scan over transformer layers
     remat: bool = False         # checkpoint each layer in backward
+    # remat policy: None (recompute all) | 'dots' (save matmul outputs,
+    # recompute elementwise) | 'dots_no_batch' (save weight-stationary only)
+    remat_policy: Optional[str] = None
     # fp32 softmax (default, safer) vs compute-dtype softmax (the
     # reference's bf16 behaviour; halves attention HBM traffic)
     attention_softmax_fp32: bool = True

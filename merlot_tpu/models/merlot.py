@@ -95,6 +95,7 @@ class MerlotModel(nn.Module):
                                  else c.hidden_dropout_prob),
             attention_probs_dropout_prob=c.attention_probs_dropout_prob,
             dtype=dtype, scan_layers=c.scan_layers, remat=c.remat,
+            remat_policy=c.remat_policy,
             softmax_fp32=c.attention_softmax_fp32)
         self.vision_backbone = VisionBackbone(
             patch_size=c.patch_size, hidden_size=c.hidden_size,

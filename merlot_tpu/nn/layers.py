@@ -54,7 +54,7 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (dim,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (dim,), jnp.float32)
-        return norms.layer_norm(x, gamma, beta, epsilon=self.epsilon)
+        return norms.layer_norm(x, gamma, beta, self.epsilon)
 
 
 class GroupNorm(nn.Module):
@@ -67,8 +67,8 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
-        return norms.group_norm(x, gamma, beta, num_groups=self.num_groups,
-                                epsilon=self.epsilon)
+        return norms.group_norm(x, gamma, beta, self.num_groups,
+                                self.epsilon)
 
 
 class WSConv(nn.Module):

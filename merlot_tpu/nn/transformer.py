@@ -34,6 +34,16 @@ from merlot_tpu.ops.activations import gelu
 from merlot_tpu.ops.attention import attention_core
 
 
+def _remat_policy(name: Optional[str]):
+    if name is None:
+        return None
+    return {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch":
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[name]
+
+
 @dataclass(frozen=True)
 class TransformerHParams:
     hidden_size: int = 768
@@ -51,6 +61,12 @@ class TransformerHParams:
     # remat at the layer boundary: recompute activations in backward to
     # trade FLOPs for HBM (jax.checkpoint / nn.remat)
     remat: bool = False
+    # what the layer remat SAVES (None = recompute everything):
+    #   'dots'          — keep every matmul output, recompute elementwise
+    #                     only (gelu/LN/softmax); nearly-free backward at a
+    #                     fraction of full-activation memory
+    #   'dots_no_batch' — keep only weight-stationary matmuls
+    remat_policy: Optional[str] = None
     # fp32 softmax (safer) vs compute-dtype softmax (the reference's bf16
     # behaviour; halves attention HBM traffic)
     softmax_fp32: bool = True
@@ -218,14 +234,10 @@ class TransformerEncoder(nn.Module):
         out: Dict[str, jnp.ndarray] = {}
 
         if self.hp.scan_layers:
-            # prefix runs (shared lang tower shallower than the joint stack)
-            # are only meaningful with distinct layer weights; with scan all
-            # configs we support use equal depths.
-            assert n == self.hp.num_layers, \
-                "scan_layers requires full-depth calls (equal tower depths)"
             layer_cls = _LayerForScan
             if self.hp.remat:
-                layer_cls = nn.remat(layer_cls, prevent_cse=False)
+                layer_cls = nn.remat(layer_cls, prevent_cse=False,
+                                     policy=_remat_policy(self.hp.remat_policy))
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -235,7 +247,36 @@ class TransformerEncoder(nn.Module):
                 metadata_params={nn.PARTITION_NAME: None},
             )(self.hp, collect, deterministic, attn_backend, mask_format,
               name="layers")
-            x, extras = scanned(x, mask)
+            if n == self.hp.num_layers or self.is_initializing():
+                # full-depth run; at init this also CREATES the full
+                # [num_layers, ...] stacked params even when the first call
+                # is a prefix run (values during init are don't-cares)
+                x, extras = scanned(x, mask)
+                if n != self.hp.num_layers:
+                    extras = jax.tree.map(lambda a: a[:n], extras)
+            else:
+                # prefix run over the stacked params (the shared lang tower
+                # configured shallower than the joint stack — reference:
+                # model/modeling.py:361-371): slice the leading layer axis
+                # and lax.scan the same (possibly remat-wrapped) layer body.
+                stacked = self.variables["params"]["layers"]
+                sliced = jax.tree.map(lambda a: a[:n], stacked)
+                layer = layer_cls(self.hp, collect, deterministic,
+                                  attn_backend, mask_format)
+                need_rng = (not deterministic
+                            and (self.hp.hidden_dropout_prob > 0.0
+                                 or self.hp.attention_probs_dropout_prob > 0.0))
+                keys = (jax.random.split(self.make_rng("dropout"), n)
+                        if need_rng else jnp.zeros((n, 2), jnp.uint32))
+
+                def body(carry, xs):
+                    p, key = xs
+                    rngs = {"dropout": key} if need_rng else {}
+                    y, extra = layer.apply({"params": p}, carry, mask,
+                                           rngs=rngs)
+                    return y, extra
+
+                x, extras = jax.lax.scan(body, x, (sliced, keys))
             if collect == "colsum":
                 out["attn_colsum"] = jnp.sum(extras, axis=0)
             elif collect == "probs":
@@ -253,7 +294,8 @@ class TransformerEncoder(nn.Module):
                     # collect/deterministic/attn_backend/mask_format are
                     # static strings
                     layer_cls = nn.remat(layer_cls, prevent_cse=False,
-                                         static_argnums=(3, 4, 5, 6))
+                                         static_argnums=(3, 4, 5, 6),
+                                         policy=_remat_policy(self.hp.remat_policy))
                 layer = layer_cls(self.hp, name=f"layer{i:02d}")
                 if cache is not None:
                     layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}

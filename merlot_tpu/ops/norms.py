@@ -8,34 +8,109 @@ input dtype** (bf16 activations, fp32 master params).
   * layer_norm   — reference: utils/model_utils.py:113-130 (eps 1e-5, the
                    ``x*scale - mean*scale + beta`` formulation)
   * group_norm   — reference: utils/model_utils.py:133-222 (one-pass
-                   sufficient-statistics variance, eps 1e-4 in the ResNet)
+                   sufficient-statistics variance, eps 1e-4 in the ResNet;
+                   the reference also casts bf16 up to fp32 for the stats)
   * standardize_kernel — weight standardization for convs,
                    reference: utils/vision_transformer.py:56-63
+
+TPU memory-traffic note: both norms carry a custom_vjp. XLA's default
+backward for an fp32-stats norm over bf16 activations saves FP32 copies of
+the normalized tensor (2x the activation bytes, e.g. 41 MB per ResNet
+block at pretrain shapes — measured as the dominant cost of the ResNet
+backward). The custom backward saves only (x bf16, mean, rstd) and
+recomputes x_hat on the fly; same math, same fp32 statistics, half the HBM.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
+# ----------------------------------------------------------------------
+# layer norm
+# ----------------------------------------------------------------------
+def _ln_fwd_math(x, gamma, beta, epsilon):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = lax.rsqrt(var + epsilon)
+    scale = rstd * gamma.astype(jnp.float32)
+    out = xf * scale - mean * scale + beta.astype(jnp.float32)
+    return out.astype(x.dtype), mean, rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                epsilon: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the last axis; fp32 statistics, output in x.dtype.
 
-    Uses the two-term form ``x*s - mean*s + beta`` with ``s = rsqrt(var+eps)*gamma``
-    so the bf16 rounding pattern matches the reference, and the biased
-    (moment) variance.
+    Uses the two-term form ``x*s - mean*s + beta`` with
+    ``s = rsqrt(var+eps)*gamma`` so the bf16 rounding pattern matches the
+    reference, and the biased (moment) variance.
     """
-    orig_dtype = x.dtype
+    return _ln_fwd_math(x, gamma, beta, epsilon)[0]
+
+
+def _ln_fwd(x, gamma, beta, epsilon):
+    out, mean, rstd = _ln_fwd_math(x, gamma, beta, epsilon)
+    return out, (x, gamma, mean, rstd)
+
+
+def _ln_bwd(epsilon, res, dy):
+    x, gamma, mean, rstd = res
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    scale = lax.rsqrt(var + epsilon) * gamma.astype(jnp.float32)
-    out = xf * scale - mean * scale + beta.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    dyf = dy.astype(jnp.float32)
+    x_hat = (xf - mean) * rstd
+    reduce_axes = tuple(range(x.ndim - 1))
+    dgamma = jnp.sum(dyf * x_hat, axis=reduce_axes)
+    dbeta = jnp.sum(dyf, axis=reduce_axes)
+    dx_hat = dyf * gamma.astype(jnp.float32)
+    m1 = jnp.mean(dx_hat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dx_hat * x_hat, axis=-1, keepdims=True)
+    dx = (rstd * (dx_hat - m1 - x_hat * m2)).astype(x.dtype)
+    return dx, dgamma, dbeta
 
 
+layer_norm.defvjp(_ln_fwd, _ln_bwd)
+
+
+# ----------------------------------------------------------------------
+# group norm
+# ----------------------------------------------------------------------
+def _gn_stats(xf, mean_close_to_zero):
+    # statistics over everything but (batch, group); xf [B, S, G, Cpg]
+    if mean_close_to_zero:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        mean_sq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+        var = mean_sq - jnp.square(mean)
+    else:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    return mean, var
+
+
+def _gn_reshape(x, num_groups):
+    b = x.shape[0]
+    c = x.shape[-1]
+    if c % num_groups != 0:
+        raise ValueError(f"{c} channels not divisible into {num_groups} groups")
+    return x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+
+
+def _gn_fwd_math(x, gamma, beta, num_groups, epsilon, mean_close_to_zero):
+    xf = _gn_reshape(x, num_groups)
+    mean, var = _gn_stats(xf, mean_close_to_zero)
+    rstd = lax.rsqrt(var + epsilon)
+    xn = ((xf - mean) * rstd).reshape(x.shape)
+    out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return out.astype(x.dtype), mean, rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                num_groups: int = 32, epsilon: float = 1e-4,
                mean_close_to_zero: bool = True) -> jnp.ndarray:
@@ -45,27 +120,34 @@ def group_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     variance ``E[x^2] - E[x]^2`` (the reference's default, which is more
     accurate than the shifted two-pass form when the mean is ~0 pre-ReLU).
     """
-    orig_dtype = x.dtype
-    b = x.shape[0]
+    return _gn_fwd_math(x, gamma, beta, num_groups, epsilon,
+                        mean_close_to_zero)[0]
+
+
+def _gn_fwd(x, gamma, beta, num_groups, epsilon, mean_close_to_zero):
+    out, mean, rstd = _gn_fwd_math(x, gamma, beta, num_groups, epsilon,
+                                   mean_close_to_zero)
+    return out, (x, gamma, mean, rstd)
+
+
+def _gn_bwd(num_groups, epsilon, mean_close_to_zero, res, dy):
+    x, gamma, mean, rstd = res
+    xf = _gn_reshape(x, num_groups)                    # [B, S, G, Cpg]
+    x_hat = (xf - mean) * rstd
+    dyf = _gn_reshape(dy, num_groups)
     c = x.shape[-1]
-    if c % num_groups != 0:
-        raise ValueError(f"{c} channels not divisible into {num_groups} groups")
-    cpg = c // num_groups
+    # per-channel param grads: reduce over batch + spatial
+    dgamma = jnp.sum(dyf * x_hat, axis=(0, 1)).reshape(c)
+    dbeta = jnp.sum(dyf, axis=(0, 1)).reshape(c)
+    gamma_g = gamma.astype(jnp.float32).reshape(1, 1, num_groups, -1)
+    dx_hat = dyf * gamma_g
+    m1 = jnp.mean(dx_hat, axis=(1, 3), keepdims=True)
+    m2 = jnp.mean(dx_hat * x_hat, axis=(1, 3), keepdims=True)
+    dx = (rstd * (dx_hat - m1 - x_hat * m2)).reshape(x.shape).astype(x.dtype)
+    return dx, dgamma, dbeta
 
-    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, cpg)
-    # statistics over everything but (batch, group)
-    if mean_close_to_zero:
-        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
-        var = mean_sq - jnp.square(mean)
-    else:
-        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
 
-    xn = (xf - mean) * lax.rsqrt(var + epsilon)
-    xn = xn.reshape(x.shape)
-    out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-    return out.astype(orig_dtype)
+group_norm.defvjp(_gn_fwd, _gn_bwd)
 
 
 def standardize_kernel(kernel: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:

@@ -23,6 +23,16 @@ Design (sequences here are short: 266-512 tokens):
 Backward: jax.custom_vjp with a recompute-based XLA backward (flash-style
 remat — the fwd never saved the probs, so bwd rebuilds them blockwise inside
 one fused XLA computation). A full Pallas backward is a later optimization.
+
+KNOWN QUIRK (documented divergence, like the repo's other quirk notes): for
+a FULLY-MASKED real query row (all-pad text) the ``s*m - 1e10*(1-m)``
+fallback softmaxes to uniform over the LANE-PADDED length s_pad, while the
+XLA path is uniform over the true s — so such rows contribute 1/s_pad
+instead of 1/s per key to collect='colsum' attention mass. Nothing consumes
+those rows' context outputs, and no default path runs pallas with colsum;
+the divergence only matters if the pallas backend is explicitly selected
+for the lang tower. Renormalizing over the first s columns would cost a
+per-row select on every block for a row class that carries no signal.
 """
 
 from __future__ import annotations

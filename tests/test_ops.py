@@ -122,3 +122,56 @@ def test_gumbel_topk_no_replacement_and_distribution():
     # the high-probability element appears first ~70% of the time
     frac = (idx_np[:, 0] == 0).mean()
     assert 0.65 < frac < 0.75
+
+
+def test_norm_custom_vjp_matches_autodiff(rng):
+    """layer_norm/group_norm carry hand-written backwards (to stop XLA from
+    saving fp32 activation copies); they must equal autodiff of the same
+    math to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from merlot_tpu.ops import norms
+
+    x = jnp.asarray(rng.standard_normal((4, 6, 64)) * 2 + 0.5, jnp.float32)
+    g = jnp.asarray(rng.standard_normal(64) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+
+    def ln_ref(x, g, b):
+        mean = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), -1, keepdims=True)
+        s = jax.lax.rsqrt(var + 1e-5) * g
+        return x * s - mean * s + b
+
+    def loss_custom(x, g, b):
+        return jnp.sum(jnp.sin(norms.layer_norm(x, g, b)))
+
+    def loss_ref(x, g, b):
+        return jnp.sum(jnp.sin(ln_ref(x, g, b)))
+
+    got = jax.grad(loss_custom, argnums=(0, 1, 2))(x, g, b)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, g, b)
+    for a, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+    # group norm vs autodiff of an equivalent plain-math forward
+    xg = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    gg = jnp.asarray(rng.standard_normal(32) * 0.1 + 1.0, jnp.float32)
+    bg = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+
+    def gn_ref(x, g, b):
+        B, h, w, c = x.shape
+        xf = x.reshape(B, -1, 4, c // 4)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - mean ** 2
+        xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-4)).reshape(x.shape)
+        return xn * g + b
+
+    got = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        norms.group_norm(*a, 4, 1e-4, True))), argnums=(0, 1, 2))(xg, gg, bg)
+    want = jax.grad(lambda *a: jnp.sum(jnp.sin(gn_ref(*a))),
+                    argnums=(0, 1, 2))(xg, gg, bg)
+    for a, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)

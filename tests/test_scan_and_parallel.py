@@ -62,6 +62,43 @@ def test_scan_matches_unrolled_with_same_params(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("remat", [False, True])
+def test_scan_prefix_depth_matches_unrolled(rng, remat):
+    """Prefix runs (num_layers < stack depth — the shared-but-shallower lang
+    tower, reference model/modeling.py:361-371) must work in scan mode by
+    slicing the stacked params' leading axis (round-1 gap: asserted out)."""
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    mask = jnp.ones((2, 5, 5), jnp.float32)
+    hp_u = dataclasses.replace(HP, remat=remat)
+    enc_u = TransformerEncoder(hp_u)
+    v_unroll = jax.jit(lambda x, m: enc_u.init(
+        jax.random.PRNGKey(0), x, m))(x, mask)
+    out_prefix_u = jax.jit(lambda v, x, m: enc_u.apply(
+        v, x, m, collect="colsum", num_layers=2))(v_unroll, x, mask)
+
+    p = v_unroll["params"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[p[f"layer{i:02d}"] for i in range(3)])
+    v_scan = {"params": {"layers": {"layer": stacked},
+                         "final_ln": p["final_ln"]}}
+    enc_s = TransformerEncoder(dataclasses.replace(HP, scan_layers=True,
+                                                   remat=remat))
+    out_prefix_s = jax.jit(lambda v, x, m: enc_s.apply(
+        v, x, m, collect="colsum", num_layers=2))(v_scan, x, mask)
+    np.testing.assert_allclose(np.asarray(out_prefix_s["hidden_state"]),
+                               np.asarray(out_prefix_u["hidden_state"]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_prefix_s["attn_colsum"]),
+                               np.asarray(out_prefix_u["attn_colsum"]),
+                               rtol=2e-5, atol=2e-5)
+    # init with a prefix first-call still creates the full stack
+    enc_i = TransformerEncoder(dataclasses.replace(HP, scan_layers=True))
+    v_i = jax.jit(lambda x, m: enc_i.init(jax.random.PRNGKey(0), x, m,
+                                          num_layers=2))(x, mask)
+    assert v_i["params"]["layers"]["layer"]["attention"]["query"][
+        "kernel"].shape[0] == 3
+
+
 def test_remat_matches_plain(rng):
     x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
     mask = jnp.ones((2, 5, 5), jnp.float32)

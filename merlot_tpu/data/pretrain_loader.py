@@ -330,11 +330,26 @@ class PretrainLoader:
             stop.set()
 
 
-def device_put_iterator(it, sharding=None):
-    """Double-buffered host->device transfer (the infeed-queue analogue)."""
+def device_put_iterator(it, sharding=None, images_bf16: bool = True):
+    """Double-buffered host->device transfer (the infeed-queue analogue).
+
+    images_bf16 casts the float image tensor to bf16 on the host before the
+    transfer — halves infeed bytes with NO compute-path change (the model's
+    first conv casts to bf16 anyway; the reference's bf16 infeed does the
+    same, model/dataloader.py:259-264 + use_bfloat16). Pass False for fp32
+    models."""
     import jax
+    import jax.numpy as jnp
+
+    def prep(batch):
+        if images_bf16 and "images" in batch:
+            batch = dict(batch)
+            batch["images"] = batch["images"].astype(jnp.bfloat16)
+        return batch
+
     prev = None
     for batch in it:
+        batch = prep(batch)
         nxt = jax.device_put(batch, sharding) if sharding is not None \
             else jax.device_put(batch)
         if prev is not None:

@@ -49,7 +49,8 @@ def main(argv=None):
     batches = device_put_iterator(
         vcr_joint_batches(files, merged,
                           batch_size=config.device["train_batch_size"]),
-        batch_sharding(mesh))
+        batch_sharding(mesh),
+        images_bf16=config.model.get("use_bfloat16", True))
 
     trainer = Trainer(model, optimizer,
                       output_dir=config.device["output_dir"], mesh=mesh,

@@ -60,7 +60,9 @@ def main(argv=None):
         log_every=config.device.get("log_every", 50),
         checkpoint_every=config.device.get("iterations_per_loop", 1000))
 
-    batches = device_put_iterator(iter(loader), batch_sharding(mesh))
+    batches = device_put_iterator(
+        iter(loader), batch_sharding(mesh),
+        images_bf16=config.model.get("use_bfloat16", True))
     first = next(batches)
     params, opt_state = trainer.init_state(
         first, init_checkpoint=config.model.get("init_checkpoint"))

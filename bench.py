@@ -69,8 +69,10 @@ def bench_vit_encode():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (n_frames, 192, 352, 3)),
                          jnp.float32)
+    from merlot_tpu.ops.attention import inference_backend
+    backend = os.environ.get("BENCH_ATTN", inference_backend())
     v = jax.jit(lambda x: vb.init(jax.random.PRNGKey(0), x))(images)
-    fwd = jax.jit(lambda v, x: vb.apply(v, x)["cls"])
+    fwd = jax.jit(lambda v, x: vb.apply(v, x, attn_backend=backend)["cls"])
     # host-transfer sync (block_until_ready is a no-op over the tunnel)
     float(fwd(v, images)[0, 0, 0])
     n_iters = 10
@@ -132,7 +134,9 @@ def main():
             t0 = time.time()
             params, opt_state = init_train_state(model, optimizer, batch)
             log(f"  init: {time.time() - t0:.1f}s")
-            step_fn = make_train_step(model, optimizer)
+            step_fn = make_train_step(
+                model, optimizer,
+                attn_backend=os.environ.get("BENCH_ATTN", "auto"))
             key = jax.random.PRNGKey(0)
 
             t0 = time.time()

@@ -36,13 +36,15 @@ MASK_PENALTY = 1e10
 def inference_backend() -> str:
     """Preferred backend for forward-only (no-grad) paths.
 
-    Currently XLA everywhere: with the reference-faithful bf16 softmax the
-    XLA path beats the pallas kernel at MERLOT's sequence lengths (the
-    kernel pays 128-lane padding, 266->384, and computes softmax in fp32;
-    measured 1238 vs 839 frames/s on the ViT encode). The kernel remains
-    the opt-in choice ('pallas') for fp32-softmax or longer-sequence
-    configs, where it wins 1.1-1.7x. This function is the single switch
-    point when that trade flips."""
+    The v2 pallas kernel (heads-in-kernel, natural [B,S,H*D] layout, bf16
+    softmax, no external padding) beats in-model XLA attention at MERLOT's
+    lengths: ViT encode 1240 -> 1530 frames/s (+23%), zero-shot story
+    ordering 26 -> 46 stories/s (+77%), VCR eval 57 -> 165 ex/s (2.9x).
+    The round-1 kernel lost (lane padding + fp32 softmax) and was replaced.
+    On non-TPU backends (CPU tests, drivers) this falls back to XLA —
+    pallas kernels only compile on TPU."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return "pallas"
     return "xla"
 
 
@@ -73,18 +75,22 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     fusable = collect != "probs" and dropout_rate == 0.0
     if backend == "auto":
-        # XLA by default: in TRAINING the pallas kernel's recompute-based
-        # backward costs more than its forward win (measured 189 vs 206
+        # XLA by default: in TRAINING the v2 kernel's recompute backward
+        # still costs slightly more than its forward win (233 vs 239
         # seg/s/chip end-to-end), while XLA's saved-probs backward is
-        # cheaper. Inference-only drivers pass attn_backend='pallas'
-        # explicitly (1.1-1.7x on the forward). Flips back once the fused
-        # backward kernel lands.
+        # cheaper at these lengths. Inference drivers use
+        # inference_backend() -> 'pallas' (ViT encode 1240 -> 1530
+        # frames/s, +23%).
         backend = "xla"
 
     if backend == "pallas" and fusable:
-        assert mask_format == "multiplicative"
-        from merlot_tpu.ops.pallas_attention import flash_attention
-        return flash_attention(q, k, v, mask, collect=collect)
+        from merlot_tpu.ops.pallas_attention import (flash_attention,
+                                                     kernel_supported)
+        if kernel_supported(q.shape[1], k.shape[1], q.shape[-1]):
+            assert mask_format == "multiplicative"
+            return flash_attention(q, k, v, mask, collect=collect,
+                                   softmax_fp32=softmax_fp32)
+        # sequence too long for the kernel's VMEM budget -> XLA below
 
     return _xla_attention(q, k, v, mask, collect=collect,
                           dropout_rate=dropout_rate, dropout_rng=dropout_rng,

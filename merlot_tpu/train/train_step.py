@@ -28,7 +28,8 @@ from merlot_tpu.train.optimizer import MerlotAdamW
 
 
 def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    attn_backend: str = "auto") -> Callable:
     """Build the jitted (params, opt_state, batch, root_key) -> ... step."""
 
     def train_step(params, opt_state, batch, root_key):
@@ -39,7 +40,8 @@ def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
         def loss_fn(p):
             loss, metrics, _ = model.apply(
                 {"params": p}, batch, deterministic=False,
-                rngs={"masking": k_mask, "dropout": k_drop})
+                rngs={"masking": k_mask, "dropout": k_drop},
+                attn_backend=attn_backend)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

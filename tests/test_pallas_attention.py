@@ -1,5 +1,5 @@
-"""Pallas flash-attention kernel vs the XLA oracle (interpret mode on CPU;
-the same comparison runs on the real chip via tools/check_pallas_tpu.py)."""
+"""Pallas v2 flash-attention kernel vs the XLA oracle (interpret mode on
+CPU; the same code runs compiled on TPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -11,68 +11,90 @@ from merlot_tpu.ops.attention import _xla_attention
 from merlot_tpu.ops.pallas_attention import flash_attention
 
 
-@pytest.mark.parametrize("s,collect", [(20, "none"), (20, "colsum"),
-                                       (160, "colsum"), (300, "none")])
+def _mk(rng, b, sq, sk, h=2, d=32, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, sk, h, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, sk, h, d)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("s", [48, 266])
+@pytest.mark.parametrize("collect", ["none", "colsum"])
 def test_flash_matches_xla_interpret(rng, s, collect):
-    B, H, D = 2, 3, 16
-    q = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    valid = rng.integers(0, 2, (B, s)).astype(bool)
-    valid[:, 0] = True
-    mask = jnp.asarray((valid[:, None] & valid[:, :, None]), jnp.float32)
-
-    ctx_ref, extra_ref = _xla_attention(q, k, v, mask, collect=collect)
+    q, k, v = _mk(rng, 2, s, s)
+    mask = jnp.asarray(rng.random((2, s, s)) < 0.8, jnp.float32)
+    mask = jnp.maximum(mask, jnp.eye(s)[None])
     with pltpu.force_tpu_interpret_mode():
-        ctx, extra = flash_attention(q, k, v, mask, collect=collect)
-
-    # fully-masked (invalid) query rows differ by design: the reference
-    # softmaxes them to uniform over S keys, the padded kernel over S_pad.
-    # Those rows are never consumed by any loss (pad positions only).
-    vr = np.where(valid)
-    np.testing.assert_allclose(np.asarray(ctx)[vr[0], vr[1]],
-                               np.asarray(ctx_ref)[vr[0], vr[1]],
-                               rtol=2e-4, atol=2e-4)
-    if collect == "colsum":
-        # colsum over VALID-query contributions must match: subtract the
-        # uniform mass the invalid rows contribute in each formulation.
-        n_invalid = (~valid).sum(1)
-        s_pad = ((s + 127) // 128) * 128
-        ref_adj = np.asarray(extra_ref) - n_invalid[:, None] / s
-        pal_adj = np.asarray(extra) - n_invalid[:, None] / s_pad
-        np.testing.assert_allclose(pal_adj, ref_adj, rtol=2e-4, atol=2e-4)
-
-
-def test_flash_no_mask_matches_xla(rng):
-    B, s, H, D = 2, 24, 2, 16
-    q = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    ctx_ref, _ = _xla_attention(q, k, v, None, collect="none")
-    with pltpu.force_tpu_interpret_mode():
-        ctx, _ = flash_attention(q, k, v, None, collect="none")
+        ctx, extra = flash_attention(q, k, v, mask, collect=collect,
+                                     softmax_fp32=True)
+    ctx_ref, extra_ref = _xla_attention(q, k, v, mask, collect=collect,
+                                        softmax_fp32=True)
     np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=2e-5, atol=2e-5)
+    if collect == "colsum":
+        np.testing.assert_allclose(np.asarray(extra), np.asarray(extra_ref),
+                                   rtol=2e-5, atol=2e-5)
 
 
-def test_flash_gradients_match_xla(rng):
-    B, s, H, D = 1, 12, 2, 8
-    q = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, s, H, D)), jnp.float32)
-    mask = jnp.ones((B, s, s), jnp.float32)
-
-    def loss_ref(q, k, v):
-        ctx, colsum = _xla_attention(q, k, v, mask, collect="colsum")
-        return jnp.sum(ctx ** 2) + jnp.sum(colsum ** 2)
-
-    def loss_pallas(q, k, v):
-        ctx, colsum = flash_attention(q, k, v, mask, collect="colsum")
-        return jnp.sum(ctx ** 2) + jnp.sum(colsum ** 2)
-
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+def test_flash_maskless_and_cross_lengths(rng):
+    """No mask; Sq != Sk (cross-attention shape)."""
+    q, k, v = _mk(rng, 2, 40, 72)
     with pltpu.force_tpu_interpret_mode():
-        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g_pal, g_ref):
+        ctx, _ = flash_attention(q, k, v, None, softmax_fp32=True)
+    ctx_ref, _ = _xla_attention(q, k, v, None, collect="none",
+                                softmax_fp32=True)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_fully_masked_row_uniform_over_true_length(rng):
+    """A fully-masked real row must softmax to uniform over the TRUE key
+    length (v1 diverged to uniform-over-padded-length; v2's logical block
+    shapes make this exact)."""
+    s = 37  # deliberately not a tile multiple
+    q, k, v = _mk(rng, 1, s, s)
+    mask = jnp.ones((1, s, s), jnp.float32).at[0, 3, :].set(0.0)
+    with pltpu.force_tpu_interpret_mode():
+        _, colsum = flash_attention(q, k, v, mask, collect="colsum",
+                                    softmax_fp32=True)
+    _, colsum_ref = _xla_attention(q, k, v, mask, collect="colsum",
+                                   softmax_fp32=True)
+    np.testing.assert_allclose(np.asarray(colsum), np.asarray(colsum_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_backward_matches_xla(rng):
+    q, k, v = _mk(rng, 2, 33, 33)
+    mask = jnp.asarray(rng.random((2, 33, 33)) < 0.8, jnp.float32)
+    mask = jnp.maximum(mask, jnp.eye(33)[None])
+
+    def loss_flash(q, k, v):
+        ctx, colsum = flash_attention(q, k, v, mask, collect="colsum",
+                                      softmax_fp32=True)
+        return jnp.sum(jnp.sin(ctx)) + jnp.sum(colsum * 0.1)
+
+    def loss_xla(q, k, v):
+        ctx, colsum = _xla_attention(q, k, v, mask, collect="colsum",
+                                     softmax_fp32=True)
+        return jnp.sum(jnp.sin(ctx)) + jnp.sum(colsum * 0.1)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=5e-4)
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_qblocked_path(rng):
+    """Sq > 512 exercises the multi-q-block grid + colsum accumulation."""
+    q, k, v = _mk(rng, 1, 520, 520, h=1, d=16)
+    with pltpu.force_tpu_interpret_mode():
+        ctx, colsum = flash_attention(q, k, v, None, collect="colsum",
+                                      softmax_fp32=True)
+    ctx_ref, colsum_ref = _xla_attention(q, k, v, None, collect="colsum",
+                                         softmax_fp32=True)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(colsum), np.asarray(colsum_ref),
+                               rtol=2e-5, atol=2e-5)

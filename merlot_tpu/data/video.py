@@ -7,9 +7,11 @@ single-frame reads with ``-ss t -frames:v 1 -q:v 2 -pix_fmt rgb24``,
 4-thread fan-out for multi-frame extraction) and reimplement the black-bar
 detection/trim (max 20% per side, intensity threshold) in numpy.
 
-If ffmpeg is absent (this CI image), extraction raises a clear error;
-everything downstream of raw frames is covered by tests using synthetic
-frames.
+When the ffmpeg binary is absent, extraction falls back to OpenCV's
+bundled decoders (cv2.VideoCapture with millisecond seeks) — same frame
+semantics, no external binary. The whole pipeline (decode -> black-bar
+trim -> chunking -> tfrecord) is exercised end-to-end in
+tests/test_process.py on a cv2-synthesized video.
 """
 
 from __future__ import annotations
@@ -24,6 +26,55 @@ import numpy as np
 
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
+
+
+# ----------------------------------------------------------------------
+# cv2 fallback backend
+# ----------------------------------------------------------------------
+def _cv2_probe_size(video_file: str) -> Tuple[int, int]:
+    import cv2
+    cap = cv2.VideoCapture(video_file)
+    try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cv2 cannot open {video_file}")
+        return (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    finally:
+        cap.release()
+
+
+def _cv2_extract_at_times(video_file: str, times: Sequence[float]
+                          ) -> List[Optional[np.ndarray]]:
+    """Sequential millisecond-seek reads (one shared decoder; cv2 captures
+    are not thread-safe, and offline extraction parallelizes across VIDEOS
+    anyway, reference: data/process.py's per-video workers)."""
+    import cv2
+    cap = cv2.VideoCapture(video_file)
+    frames: List[Optional[np.ndarray]] = []
+    try:
+        if not cap.isOpened():
+            return [None] * len(times)
+        for t in times:
+            cap.set(cv2.CAP_PROP_POS_MSEC, max(t, 0.0) * 1000.0)
+            ok, bgr = cap.read()
+            frames.append(bgr[..., ::-1].copy() if ok else None)
+    finally:
+        cap.release()
+    return frames
+
+
+def _cv2_extract_fixed_fps(video_file: str, fps: float) -> np.ndarray:
+    import cv2
+    cap = cv2.VideoCapture(video_file)
+    try:
+        native_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        duration = n / native_fps if native_fps else 0.0
+    finally:
+        cap.release()
+    times = np.arange(0.0, max(duration, 1.0 / max(fps, 1e-6)), 1.0 / fps)
+    frames = _cv2_extract_at_times(video_file, list(times))
+    return np.stack([f for f in frames if f is not None])
 
 
 def detect_black_bars(frames: np.ndarray, blackbar_threshold: int = 16,
@@ -63,7 +114,7 @@ def extract_single_frame(video_file: str, t: float,
     """Seek to timestamp t and decode one RGB frame
     (reference: :61-80)."""
     if not ffmpeg_available():
-        raise RuntimeError("ffmpeg binary not found on PATH")
+        return _cv2_extract_at_times(video_file, [t])[0]
     if size is None:
         size = _probe_size(video_file)
     w, h = size
@@ -83,21 +134,24 @@ def extract_frames_from_video(video_file: str, times: Sequence[float],
                               ) -> Optional[np.ndarray]:
     """Frames at the given timestamps, black bars trimmed
     (reference: :82-126). Returns [N, H', W', 3] uint8 or None on failure."""
-    size = _probe_size(video_file)
-
-    def _one(i):
-        return i, extract_single_frame(video_file, times[i], size)
-
-    frames: List[Optional[np.ndarray]] = [None] * len(times)
-    if use_multithreading:
-        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-            for fut in concurrent.futures.as_completed(
-                    [pool.submit(_one, i) for i in range(len(times))]):
-                i, img = fut.result()
-                frames[i] = img
+    if not ffmpeg_available():
+        frames = _cv2_extract_at_times(video_file, times)
     else:
-        for i in range(len(times)):
-            frames[i] = _one(i)[1]
+        size = _probe_size(video_file)
+
+        def _one(i):
+            return i, extract_single_frame(video_file, times[i], size)
+
+        frames: List[Optional[np.ndarray]] = [None] * len(times)
+        if use_multithreading:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+                for fut in concurrent.futures.as_completed(
+                        [pool.submit(_one, i) for i in range(len(times))]):
+                    i, img = fut.result()
+                    frames[i] = img
+        else:
+            for i in range(len(times)):
+                frames[i] = _one(i)[1]
 
     if any(f is None for f in frames):
         return None
@@ -112,7 +166,10 @@ def extract_all_frames(video_file: str, fps: float = 1.0,
                        max_perc_to_trim: float = 0.2) -> np.ndarray:
     """Decode at a fixed rate (reference: :35-59 with -r 1)."""
     if not ffmpeg_available():
-        raise RuntimeError("ffmpeg binary not found on PATH")
+        frames = _cv2_extract_fixed_fps(video_file, fps)
+        y1, y2, x1, x2 = detect_black_bars(frames, blackbar_threshold,
+                                           max_perc_to_trim)
+        return frames[:, y1:y2, x1:x2]
     w, h = _probe_size(video_file)
     cmd = ["ffmpeg", "-i", video_file, "-vf", f"fps={fps}", "-q:v", "2",
            "-f", "rawvideo", "-pix_fmt", "rgb24", "-v", "error", "pipe:1"]

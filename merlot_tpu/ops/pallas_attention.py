@@ -168,27 +168,153 @@ def _flash_fwd(q3, k3, v3, mask, *, num_heads: int,
 
 
 # ----------------------------------------------------------------------
-# custom_vjp: pallas forward, flash-style XLA recompute backward
+# fused backward kernel (v2 style: heads in-kernel, natural layout)
 # ----------------------------------------------------------------------
-def _xla_equivalent(q3, k3, v3, mask, num_heads, softmax_fp32,
-                    collect_colsum):
-    """Same math through XLA (used for the recompute backward)."""
-    from merlot_tpu.ops.attention import _xla_attention
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
+                     dq_ref, dk_ref, dv_ref, *,
+                     num_heads: int, d_head: int, scale: float,
+                     softmax_fp32: bool, use_gcol: bool,
+                     sq: int, q_blk: int):
+    """Flash-style backward, one program per (batch, q-block), all heads:
+    recompute scores+probs in VMEM (never from HBM), then
+
+      dV += P^T dO
+      dP  = dO V^T (+ g_colsum/H over real query rows when colsum was taken)
+      dS  = P * (dP - rowsum(dP * P)); dS_masked = dS * m * scale
+      dQ  = dS_masked K;   dK += dS_masked^T Q
+
+    dK/dV accumulate across q-block grid steps in revisited fp32 output
+    blocks (zeroed at qb == 0)."""
+    qb = pl.program_id(1)
+    qq = q_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
+    gg = g_ref[0]
+    m = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
+    gcol = gcol_ref[0] if use_gcol else None   # [1(+), Sk] f32
+
+    sm_dtype = jnp.float32 if softmax_fp32 else qq.dtype
+
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    # global row ids: rows beyond sq are grid overhang whose q/g data is
+    # undefined — they must contribute NOTHING to the accumulated dk/dv
+    row_valid = (jax.lax.broadcasted_iota(
+        jnp.int32, (gg.shape[0], 1), 0) + qb * q_blk < sq)  # [q_blk, 1]
+
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        qh, kh, vh, gh = qq[:, sl], kk[:, sl], vv[:, sl], gg[:, sl]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s.astype(sm_dtype)
+        if m is not None:
+            mm = m.astype(sm_dtype)
+            s = s * mm - jnp.asarray(MASK_PENALTY, sm_dtype) * (1 - mm)
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1) \
+            if sm_dtype == jnp.float32 else \
+            jax.nn.softmax(s, axis=-1).astype(jnp.float32)  # [q_blk, Sk]
+        p = jnp.where(row_valid, p, 0.0)
+
+        gh32 = jnp.where(row_valid, gh.astype(jnp.float32), 0.0)
+        dv_h = jax.lax.dot_general(p, gh32, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gh32, vh.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if use_gcol:
+            # colsum = sum_q p / H over real rows -> dp += gcol/H there
+            dp = dp + jnp.where(row_valid, gcol / num_heads, 0.0)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if m is not None:
+            ds = ds * m
+        ds = ds * scale
+        # overhang q rows: ds is 0 there, but q itself is undefined and
+        # 0 * undefined = NaN under the contraction — mask q as well
+        qh32 = jnp.where(row_valid, qh.astype(jnp.float32), 0.0)
+        dq_h = jax.lax.dot_general(ds, kh.astype(jnp.float32),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dk_h = jax.lax.dot_general(ds, qh32,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dqs.append(dq_h)
+        dks.append(dk_h)
+        dvs.append(dv_h)
+
+    # heads write disjoint column slices; only q-blocks accumulate
+    dq_ref[0] = jnp.concatenate(dqs, axis=1)
+    dk_ref[0] = dk_ref[0] + jnp.concatenate(dks, axis=1)
+    dv_ref[0] = dv_ref[0] + jnp.concatenate(dvs, axis=1)
+
+
+def _flash_bwd_pallas(q3, k3, v3, mask, g3, gcol, *, num_heads: int,
+                      softmax_fp32: bool, use_gcol: bool):
     b, sq, hd = q3.shape
     sk = k3.shape[1]
     d = hd // num_heads
-    q = q3.reshape(b, sq, num_heads, d)
-    k = k3.reshape(b, sk, num_heads, d)
-    v = v3.reshape(b, sk, num_heads, d)
-    ctx, extra = _xla_attention(
-        q, k, v, mask, collect="colsum" if collect_colsum else "none",
-        softmax_fp32=softmax_fp32, mask_format="multiplicative")
-    ctx = ctx.reshape(b, sq, hd)
-    if extra is None:
-        extra = jnp.zeros((b, sk), jnp.float32)
-    return ctx, extra
+    q_blk = sq if sq <= 512 else 512
+    n_qb = _ceil_div(sq, q_blk)
+    grid = (b, n_qb)
+
+    in_specs = [
+        pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
+        pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
+        pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
+    ]
+    args = [q3, k3, v3]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, q_blk, sk), lambda bi, qi: (bi, qi, 0)))
+        args.append(mask.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)))
+    args.append(g3)
+    if use_gcol:
+        in_specs.append(pl.BlockSpec((1, 1, sk), lambda bi, qi: (bi, 0, 0)))
+        args.append(gcol.reshape(b, 1, sk).astype(jnp.float32))
+
+    out_shapes = [jax.ShapeDtypeStruct((b, sq, hd), jnp.float32),
+                  jax.ShapeDtypeStruct((b, sk, hd), jnp.float32),
+                  jax.ShapeDtypeStruct((b, sk, hd), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
+                 pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
+                 pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0))]
+
+    def kernel(*refs):
+        ins, outs = refs[:len(args)], refs[len(args):]
+        i = 3
+        m_ref = None
+        if mask is not None:
+            m_ref = ins[i]
+            i += 1
+        g_ref = ins[i]
+        i += 1
+        gcol_ref = ins[i] if use_gcol else None
+        _attn_bwd_kernel(ins[0], ins[1], ins[2], m_ref, g_ref, gcol_ref,
+                         outs[0], outs[1], outs[2],
+                         num_heads=num_heads, d_head=d,
+                         scale=1.0 / (d ** 0.5), softmax_fp32=softmax_fp32,
+                         use_gcol=use_gcol, sq=sq, q_blk=q_blk)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(*args)
+    return dq.astype(q3.dtype), dk.astype(k3.dtype), dv.astype(v3.dtype)
 
 
+# ----------------------------------------------------------------------
+# custom_vjp wiring
+# ----------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
     ctx, colsum = _flash_fwd(q3, k3, v3, mask, num_heads=num_heads,
@@ -206,11 +332,11 @@ def _fwd(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
 
 def _bwd(num_heads, softmax_fp32, collect_colsum, res, grads):
     q3, k3, v3, mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_equivalent(q_, k_, v_, mask, num_heads,
-                                           softmax_fp32, collect_colsum),
-        q3, k3, v3)
-    dq, dk, dv = vjp(grads)
+    g_ctx, g_colsum = grads
+    dq, dk, dv = _flash_bwd_pallas(q3, k3, v3, mask, g_ctx, g_colsum,
+                                   num_heads=num_heads,
+                                   softmax_fp32=softmax_fp32,
+                                   use_gcol=collect_colsum)
     return dq, dk, dv, None
 
 

@@ -98,3 +98,21 @@ def test_flash_qblocked_path(rng):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(colsum), np.asarray(colsum_ref),
                                rtol=2e-5, atol=2e-5)
+
+    # backward across multiple q-blocks (dk/dv accumulate over the grid)
+    def loss_flash(q, k, v):
+        c, cs = flash_attention(q, k, v, None, collect="colsum",
+                                softmax_fp32=True)
+        return jnp.sum(jnp.sin(c)) + jnp.sum(cs * 0.1)
+
+    def loss_xla(q, k, v):
+        c, cs = _xla_attention(q, k, v, None, collect="colsum",
+                               softmax_fp32=True)
+        return jnp.sum(jnp.sin(c)) + jnp.sum(cs * 0.1)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

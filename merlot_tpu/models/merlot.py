@@ -209,7 +209,8 @@ class MerlotModel(nn.Module):
                  img_mask: Optional[jnp.ndarray] = None,
                  collect_attention: str = "none",
                  deterministic: bool = True,
-                 attn_backend: str = "auto") -> Dict[str, Any]:
+                 attn_backend: str = "auto",
+                 attn_backend_vit: Optional[str] = None) -> Dict[str, Any]:
         """Forward pass.
 
         Args:
@@ -237,8 +238,12 @@ class MerlotModel(nn.Module):
         L = lang_chunk_len * group
 
         # ---------------- vision tower --------------------------------
-        vinfo = self.vision_backbone(image, deterministic=deterministic,
-                                     attn_backend=attn_backend)
+        # attn_backend_vit lets training run the pallas kernel in the ViT
+        # tower only (the remote compile helper cannot hold all three
+        # towers' kernel instances in one program — PERF.md round 2)
+        vinfo = self.vision_backbone(
+            image, deterministic=deterministic,
+            attn_backend=attn_backend_vit or attn_backend)
         num_h, num_w = vinfo["num_h"], vinfo["num_w"]
         viz_chunk_len = num_h * num_w + 1
         P = viz_chunk_len * group

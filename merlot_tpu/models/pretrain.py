@@ -139,11 +139,17 @@ class MerlotPretrainModel(nn.Module):
                  collect_attention: str = "none",
                  attn_backend: str = "auto"):
         cfg = self.cfg
+        # 'vit_pallas': pallas attention in the ViT tower only (see
+        # MerlotModel.__call__ attn_backend_vit)
+        backend_vit = None
+        if attn_backend == "vit_pallas":
+            attn_backend, backend_vit = "auto", "pallas"
         fwd = self.model(
             batch["images"], batch["input_ids"], mask_input=True,
             shuffled_idx_img=batch["shuffled_idx_img"],
             collect_attention=collect_attention,
-            deterministic=deterministic, attn_backend=attn_backend)
+            deterministic=deterministic, attn_backend=attn_backend,
+            attn_backend_vit=backend_vit)
 
         lang_l, lang_m = mask_loss(self.model, fwd)
         contr_l, contr_m = contrastive_loss(self.model, fwd, cfg)

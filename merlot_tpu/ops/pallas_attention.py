@@ -252,12 +252,35 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
     dv_ref[0] = dv_ref[0] + jnp.concatenate(dvs, axis=1)
 
 
+def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
+                 has_mask: bool, budget: int = 11 << 20) -> int:
+    """Largest q block whose VMEM footprint fits: Mosaic double-buffers
+    every in/out block across grid steps (x2), plus the per-head fp32
+    score/prob/dp/ds intermediates live inside the program."""
+    def est(q_blk: int) -> int:
+        blocks = (q_blk * hd * in_bytes * 2        # q + g in
+                  + 2 * sk * hd * in_bytes         # k + v in
+                  + q_blk * hd * 4                 # dq out
+                  + 2 * sk * hd * 4                # dk + dv outs
+                  + (q_blk * sk * 4 if has_mask else 0))
+        interm = 4 * q_blk * sk * 4                # s/p/dp/ds fp32
+        return 2 * blocks + interm
+
+    # a block smaller than the dim must be 8-divisible (Mosaic tiling rule)
+    if sq <= 512 and est(sq) <= budget:
+        return sq
+    for q_blk in (512, 384, 256, 128, 64):
+        if q_blk <= sq and est(q_blk) <= budget:
+            return q_blk
+    return 64
+
+
 def _flash_bwd_pallas(q3, k3, v3, mask, g3, gcol, *, num_heads: int,
                       softmax_fp32: bool, use_gcol: bool):
     b, sq, hd = q3.shape
     sk = k3.shape[1]
     d = hd // num_heads
-    q_blk = sq if sq <= 512 else 512
+    q_blk = _bwd_q_block(sq, sk, hd, q3.dtype.itemsize, mask is not None)
     n_qb = _ceil_div(sq, q_blk)
     grid = (b, n_qb)
 

@@ -168,3 +168,33 @@ def test_offline_video_pipeline_end_to_end(tmp_path):
     assert len(ex["c00/tokenized_cleaned_asr"]) > 0
     assert len(ex["c00/tokenized_raw_asr"]) > 0
     assert ex["c00/youtube_id"][0] == b"vidtest01"
+
+
+def test_chunker_matches_reference_on_real_example():
+    """Golden parity: our split_video_into_chunks vs the REFERENCE's own
+    implementation (tools/reference_chunker_oracle.py runs the reference's
+    data/process.py prefix under primitive shims) on the reference's real
+    example video metadata (data/example_video/WAaKRUoY6Io.grover.json)."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/reference_chunker_oracle.py"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_chunks = json.loads(r.stdout)
+
+    from merlot_tpu.data.process import split_video_into_chunks
+    with open("/root/reference/data/example_video/WAaKRUoY6Io.grover.json") as f:
+        item = json.load(f)
+    ours = split_video_into_chunks(item)
+
+    assert len(ours) == len(ref_chunks) > 10
+    for i, (a, b) in enumerate(zip(ours, ref_chunks)):
+        assert a["start"] == b["start"], i
+        assert a["end"] == b["end"], i
+        assert list(a["clean_enc"]) == b["clean_enc"], i
+        assert list(a["noisy_enc"]) == b["noisy_enc"], i
+        assert bool(a["is_eoc"]) == b["is_eoc"], i
+        assert abs(a["mean_timestep"] - b["mean_timestep"]) < 1e-6, i

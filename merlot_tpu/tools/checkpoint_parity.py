@@ -140,6 +140,49 @@ def compare_forward_dump(npz_path: str,
     return report
 
 
+GROVER_CONFIG = "/root/reference/data/groverdenoise/lm/configs/medium.json"
+
+
+def compare_grover_forward_dump(npz_path: str,
+                                config_path: str = GROVER_CONFIG
+                                ) -> Dict[str, Dict[str, float]]:
+    """Grover analogue of compare_forward_dump: convert the reference
+    GroverModel's dumped random-init weights and replay its inputs through
+    our GroverLM; returns max-diff stats for hidden states and LM logits."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from merlot_tpu.models.grover import GroverConfig, GroverLM
+    from merlot_tpu.tools.convert_tf_checkpoint import (convert_arrays,
+                                                        grover_tf_name_map)
+
+    dump = np.load(npz_path)
+    tf_arrays = {k[4:]: dump[k] for k in dump.files if k.startswith("var:")}
+    ids = jnp.asarray(dump["in:input_ids"])
+    b, s = ids.shape
+
+    gc = GroverConfig.from_json_file(config_path)
+    name_map = grover_tf_name_map(gc.num_hidden_layers, root="")
+    params = jax.tree.map(jnp.asarray,
+                          convert_arrays(tf_arrays, name_map, verbose=False))
+
+    model = GroverLM(gc)
+    logits, _, hidden = jax.jit(lambda p: model.apply(
+        {"params": p}, ids, deterministic=True, return_hidden=True))(params)
+
+    report: Dict[str, Dict[str, float]] = {}
+    for name, ours in (("logits", logits), ("hidden", hidden)):
+        key = "logits_flat" if name == "logits" else "hidden_flat"
+        ref_v = dump[f"out:{key}"].astype(np.float32)
+        our_v = np.asarray(ours, np.float32).reshape(ref_v.shape)
+        diff = np.abs(our_v - ref_v)
+        report[name] = {"max_abs": float(diff.max()),
+                        "ref_scale": float(np.abs(ref_v).max())}
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None,

@@ -294,6 +294,51 @@ def grover_reference_variables(
     return out
 
 
+def grover_forward_dump(out_npz: str,
+                        config_path: str = f"{REFERENCE_ROOT}/data/groverdenoise/lm/configs/medium.json",
+                        batch_size: int = 2, seq_len: int = 24,
+                        seed: int = 0) -> None:
+    """Grover analogue of reference_forward_dump: the reference's own
+    GroverModel (lm/modeling.py:424-540) forward from its random init, in
+    fp32, weights + inputs + (hidden_state, logits) dumped to npz."""
+    import numpy as np
+
+    tf1 = _install_shims()
+    grover_root = f"{REFERENCE_ROOT}/data/groverdenoise"
+    if grover_root not in sys.path:
+        sys.path.insert(0, grover_root)
+    from lm.modeling import GroverConfig, GroverModel
+
+    cfg = GroverConfig.from_json_file(config_path)
+    rng = np.random.default_rng(seed)
+    ids_np = rng.integers(10, cfg.vocab_size - 10,
+                          (batch_size, seq_len)).astype(np.int32)
+
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.set_random_seed(seed)
+        input_ids = tf1.placeholder(tf1.int32, ids_np.shape)
+        model = GroverModel(config=cfg, is_training=False,
+                            input_ids=input_ids, chop_off_last_token=False)
+        fetches = {
+            "hidden_flat": model.hidden_state,   # [B*S, H]
+            "logits_flat": model.logits_flat,    # [B*S, vocab]
+        }
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            outs = sess.run(fetches, {input_ids: ids_np})
+            var_vals = {f"var:{v.name.split(':')[0]}": sess.run(v)
+                        for v in tf1.global_variables()
+                        if v.name.split(":")[0] != "global_step"}
+
+    payload = dict(var_vals)
+    payload.update({f"out:{k}": v for k, v in outs.items()})
+    payload["in:input_ids"] = ids_np
+    np.savez(out_npz, **payload)
+    print(f"dumped {len(var_vals)} grover vars + outputs to {out_npz}",
+          file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
@@ -303,6 +348,9 @@ def main() -> None:
     ap.add_argument("--out", default="-")
     ap.add_argument("--forward-dump", default=None, metavar="OUT_NPZ",
                     help="run the fp32 forward oracle instead of the name dump")
+    ap.add_argument("--grover-forward-dump", default=None, metavar="OUT_NPZ",
+                    help="run the Grover LM forward oracle")
+    ap.add_argument("--seq-len", type=int, default=24)
     ap.add_argument("--overrides", default=None,
                     help="JSON dict of model-config overrides")
     ap.add_argument("--batch-size", type=int, default=1)
@@ -310,6 +358,11 @@ def main() -> None:
                     help="restore this TF checkpoint before the forward dump")
     args = ap.parse_args()
     overrides = json.loads(args.overrides) if args.overrides else None
+    if args.grover_forward_dump:
+        grover_forward_dump(args.grover_forward_dump, args.config,
+                            batch_size=args.batch_size,
+                            seq_len=args.seq_len)
+        return
     if args.forward_dump:
         reference_forward_dump(args.forward_dump, args.config,
                                batch_size=args.batch_size,

@@ -45,6 +45,34 @@ def test_name_maps_bijective_on_reference_graphs():
     assert "grover: tf_vars=388" in r.stdout
 
 
+def test_grover_forward_parity_vs_reference_code(tmp_path):
+    """Reference GroverModel random-init fp32 forward == our GroverLM after
+    name-map weight conversion (tiny config; 4e-6 at the real 24L medium
+    config, recorded in PARITY.md)."""
+    import json
+
+    from merlot_tpu.tools.checkpoint_parity import compare_grover_forward_dump
+
+    cfg_path = str(tmp_path / "tiny_grover.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"vocab_size": 5027, "hidden_size": 64,
+                   "num_hidden_layers": 3, "num_attention_heads": 4,
+                   "intermediate_size": 128, "max_position_embeddings": 128,
+                   "hidden_dropout_prob": 0.1,
+                   "attention_probs_dropout_prob": 0.1,
+                   "initializer_range": 0.02}, f)
+    npz = str(tmp_path / "grover_dump.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "merlot_tpu.tools.tf1_name_oracle",
+         "--grover-forward-dump", npz, "--config", cfg_path,
+         "--batch-size", "2", "--seq-len", "24"],
+        capture_output=True, text=True, env=_cpu_env(), timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = compare_grover_forward_dump(npz, cfg_path)
+    for name, stats in report.items():
+        assert stats["max_abs"] < 1e-4, (name, stats)
+
+
 def test_forward_parity_vs_reference_code(tmp_path):
     """Reference random-init fp32 forward == ours after weight conversion."""
     from merlot_tpu.tools.checkpoint_parity import (compare_forward_dump,

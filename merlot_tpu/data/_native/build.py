@@ -7,6 +7,14 @@ import subprocess
 import sysconfig
 
 
+def _have_libjpeg() -> bool:
+    for inc in ("/usr/include/jpeglib.h",
+                "/usr/include/x86_64-linux-gnu/jpeglib.h"):
+        if os.path.exists(inc):
+            return True
+    return False
+
+
 def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "native.cc")
@@ -15,6 +23,9 @@ def build(verbose: bool = True) -> str:
     include = sysconfig.get_paths()["include"]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            f"-I{include}", src, "-o", out]
+    if _have_libjpeg():  # native JPEG decode (optional, like the TF C++ op)
+        cmd.insert(cmd.index(src), "-DMERLOT_HAVE_JPEG")
+        cmd += ["-ljpeg"]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)

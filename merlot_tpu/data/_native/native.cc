@@ -253,6 +253,81 @@ fail:
   return NULL;
 }
 
+// ---------------------------------------------------------------------
+// JPEG decode via the system libjpeg (the reference's decode runs inside
+// TF's C++ DecodeJpegOp; this is our equivalent native path). Returns
+// (height, width, rgb_bytes). The decompress loop runs without the GIL.
+// ---------------------------------------------------------------------
+#ifdef MERLOT_HAVE_JPEG
+#include <csetjmp>
+#include <cstdlib>
+#include <jpeglib.h>
+
+struct merlot_jpeg_err {
+  struct jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+static void merlot_jpeg_error_exit(j_common_ptr cinfo) {
+  merlot_jpeg_err *err = (merlot_jpeg_err *)cinfo->err;
+  longjmp(err->setjmp_buffer, 1);
+}
+
+static PyObject *py_decode_jpeg(PyObject *self, PyObject *args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+
+  struct jpeg_decompress_struct cinfo;
+  merlot_jpeg_err jerr;
+  unsigned char *out = NULL;
+  unsigned int h = 0, w = 0;
+  int ok = 0;
+
+  Py_BEGIN_ALLOW_THREADS
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = merlot_jpeg_error_exit;
+  if (!setjmp(jerr.setjmp_buffer)) {
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, (const unsigned char *)view.buf,
+                 (unsigned long)view.len);
+    if (jpeg_read_header(&cinfo, TRUE) == JPEG_HEADER_OK) {
+      cinfo.out_color_space = JCS_RGB;
+      jpeg_start_decompress(&cinfo);
+      h = cinfo.output_height;
+      w = cinfo.output_width;
+      if (h > 0 && w > 0 && cinfo.output_components == 3) {
+        out = (unsigned char *)malloc((size_t)h * w * 3);
+        if (out) {
+          size_t stride = (size_t)w * 3;
+          while (cinfo.output_scanline < h) {
+            unsigned char *row = out + (size_t)cinfo.output_scanline * stride;
+            JSAMPROW rows[1] = {row};
+            if (jpeg_read_scanlines(&cinfo, rows, 1) != 1) break;
+          }
+          ok = (cinfo.output_scanline == h);
+          jpeg_finish_decompress(&cinfo);
+        }
+      }
+    }
+  }
+  jpeg_destroy_decompress(&cinfo);
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&view);
+  if (!ok) {
+    free(out);
+    PyErr_SetString(PyExc_ValueError, "jpeg decode failed");
+    return NULL;
+  }
+  PyObject *bytes = PyBytes_FromStringAndSize((const char *)out,
+                                              (Py_ssize_t)h * w * 3);
+  free(out);
+  if (!bytes) return NULL;
+  PyObject *result = Py_BuildValue("IIN", h, w, bytes);
+  return result;
+}
+#endif  // MERLOT_HAVE_JPEG
+
 static PyMethodDef Methods[] = {
     {"crc32c", py_crc32c, METH_VARARGS, "crc32c (Castagnoli) of bytes"},
     {"masked_crc", py_masked_crc, METH_VARARGS, "TFRecord masked crc32c"},
@@ -260,6 +335,10 @@ static PyMethodDef Methods[] = {
      "tfrecord file -> [(payload_offset, length)] with CRC verification"},
     {"scan_example", py_scan_example, METH_VARARGS,
      "Example payload -> {key: (list_field, inner_off, inner_len)}"},
+#ifdef MERLOT_HAVE_JPEG
+    {"decode_jpeg", py_decode_jpeg, METH_VARARGS,
+     "jpeg bytes -> (h, w, rgb bytes); libjpeg, GIL released"},
+#endif
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef module = {PyModuleDef_HEAD_INIT, "_merlot_native",

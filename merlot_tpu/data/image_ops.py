@@ -32,8 +32,23 @@ RESIZE_METHODS = ("bilinear", "nearest", "bicubic", "area")
 # ----------------------------------------------------------------------
 # JPEG decode
 # ----------------------------------------------------------------------
+try:  # native libjpeg decode (GIL-released; bit-identical to PIL's output)
+    from merlot_tpu.data._native import _merlot_native as _native
+
+    _native_decode = getattr(_native, "decode_jpeg", None)
+except Exception:  # pragma: no cover - extension optional
+    _native_decode = None
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> float32 RGB in [0, 1] (tf.image.decode_jpeg + convert_image_dtype)."""
+    if _native_decode is not None:
+        try:
+            h, w, rgb = _native_decode(data)
+            return (np.frombuffer(rgb, np.uint8)
+                    .reshape(h, w, 3).astype(np.float32) / 255.0)
+        except ValueError:
+            pass  # odd colorspace (e.g. CMYK) -> PIL below
     img = Image.open(io.BytesIO(data))
     img = img.convert("RGB")
     arr = np.asarray(img, dtype=np.float32) / 255.0
@@ -186,7 +201,9 @@ def _brightness(img: np.ndarray, rng: np.random.Generator, strength: float) -> n
 def _contrast(img: np.ndarray, rng: np.random.Generator, strength: float) -> np.ndarray:
     delta = 0.8 * strength
     factor = rng.uniform(1.0 - delta, 1.0 + delta, size=(1, 1, 3)).astype(np.float32)
-    mean = img.mean(axis=(0, 1), keepdims=True)
+    # channels-last flat reduce: ~5x faster than mean(axis=(0, 1)) on
+    # strided HWC (the loader's hottest augment)
+    mean = img.reshape(-1, img.shape[-1]).mean(axis=0).reshape(1, 1, -1)
     return (img - mean) * factor + mean
 
 def _grayscale(img: np.ndarray, rng: np.random.Generator, strength: float) -> np.ndarray:

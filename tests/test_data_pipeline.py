@@ -169,3 +169,32 @@ def test_sample_shuffled_idx_distribution():
     for row in idx[shuffled_rows]:
         moved = (row >= 16).sum()
         assert moved >= 2
+
+
+def test_native_jpeg_decode_matches_pil():
+    """The C++ libjpeg decode path must be pixel-identical to PIL (same
+    libjpeg family); decode_jpeg() prefers it and falls back to PIL."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from merlot_tpu.data import image_ops
+
+    if image_ops._native_decode is None:
+        import pytest
+        pytest.skip("native extension built without libjpeg")
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (70, 90, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+
+    h, w, rgb = image_ops._native_decode(data)
+    native = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(native, pil)
+
+    via_api = image_ops.decode_jpeg(data)
+    np.testing.assert_allclose(via_api, pil.astype(np.float32) / 255.0)

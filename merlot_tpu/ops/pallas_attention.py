@@ -25,9 +25,13 @@ v2 design (replaces the round-1 kernel, which lost to XLA — see PERF.md):
 Measured (v5e, 128 frames x S=266 x 12 heads x 64): ViT tower forward
 69.3 -> 53.5 ms vs in-model XLA attention (23% faster end-to-end fwd).
 
-Backward: jax.custom_vjp that recomputes through an XLA-equivalent forward
-(flash-style remat — one fused XLA computation, no saved probs). A pallas
-backward was tried in round 1 and lost to XLA at these lengths.
+Backward: a fused pallas kernel in the same style (recompute probs in
+VMEM, dK/dV accumulated across q-block grid steps in revisited fp32
+blocks, VMEM-budgeted q-block sizes). Beats XLA standalone at every tower
+shape (ViT fwd+bwd 6.5 vs 8.25 ms); in TRAINING it is blocked by this
+environment's remote compile helper, which crashes on any pallas call
+inside the full-model grad program (PERF.md) — so 'auto' keeps XLA for
+training while every inference path defaults to this kernel.
 """
 
 from __future__ import annotations

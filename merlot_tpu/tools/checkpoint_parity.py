@@ -140,6 +140,64 @@ def compare_forward_dump(npz_path: str,
     return report
 
 
+VCR_CONFIG = "/root/reference/model/configs/merlot_vcr.yaml"
+
+
+def compare_vcr_forward_dump(npz_path: str,
+                             config_overrides: Optional[Dict] = None,
+                             config_path: str = VCR_CONFIG
+                             ) -> Dict[str, Dict[str, float]]:
+    """VCR-shaped parity: the reference's num_texts=4 eval forward + answer
+    head vs our VCRModel after weight conversion."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from merlot_tpu.core.config import NeatConfig
+    from merlot_tpu.downstream.vcr.modeling import VCRModel
+    from merlot_tpu.models.config import MerlotConfig
+    from merlot_tpu.tools.convert_tf_checkpoint import (convert_arrays,
+                                                        merlot_tf_name_map)
+    from merlot_tpu.train.checkpoint import warm_start
+
+    dump = np.load(npz_path)
+    tf_arrays = {k[4:]: dump[k] for k in dump.files if k.startswith("var:")}
+    images = jnp.asarray(dump["in:images"])
+    lm_input = jnp.asarray(dump["in:input_ids"])
+
+    with open(config_path) as f:
+        raw = yaml.safe_load(f)
+    model_d = dict(NeatConfig.from_dict(raw).model)
+    model_d["use_bfloat16"] = False
+    if config_overrides:
+        model_d.update(config_overrides)
+    cfg = MerlotConfig.from_dict(model_d).eval_mode()
+
+    name_map = merlot_tf_name_map(cfg, root="merlot",
+                                  include_vcr_heads=True)
+    converted = convert_arrays(tf_arrays, name_map, verbose=False)
+
+    model = VCRModel(cfg)
+    template = flax.core.unfreeze(jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), images, lm_input,
+        mode="answer"))()["params"])
+    params, _ = warm_start(template, converted, verbose=False)
+    logits = jax.jit(lambda p: model.apply(
+        {"params": p}, images, lm_input, mode="answer"))(
+        jax.tree.map(jnp.asarray, params))
+
+    report: Dict[str, Dict[str, float]] = {}
+    ref_v = dump["out:answer_logits"].astype(np.float32)
+    our_v = np.asarray(logits, np.float32).reshape(ref_v.shape)
+    diff = np.abs(our_v - ref_v)
+    report["answer_logits"] = {"max_abs": float(diff.max()),
+                               "ref_scale": float(np.abs(ref_v).max())}
+    return report
+
+
 GROVER_CONFIG = "/root/reference/data/groverdenoise/lm/configs/medium.json"
 
 

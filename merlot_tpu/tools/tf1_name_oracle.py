@@ -294,6 +294,88 @@ def grover_reference_variables(
     return out
 
 
+def vcr_forward_dump(out_npz: str,
+                     config_path: str = f"{REFERENCE_ROOT}/model/configs/merlot_vcr.yaml",
+                     batch_size: int = 1,
+                     config_overrides: Dict | None = None,
+                     seed: int = 0) -> None:
+    """VCR-shaped forward oracle: MerlotModel in the reference's VCR eval
+    configuration (downstream/vcr/modeling.py:40-76 — 2-D input_ids,
+    num_texts=4 image duplication, answer head on the lang CLS) from its
+    random init, in fp32. Exercises the num_imgs/num_texts tiling path the
+    pretrain-shaped parity dump never touches (model/modeling.py:95-130).
+    """
+    import math
+
+    import numpy as np
+    import yaml
+
+    tf1 = _install_shims()
+
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    model_cfg = dict(cfg["model"])
+    model_cfg["use_bfloat16"] = False
+    if config_overrides:
+        model_cfg.update(config_overrides)
+
+    from model.modeling import MerlotModel
+    from utils.model_utils import gelu as ref_gelu
+    from utils.transformer import create_initializer
+
+    h, w = model_cfg["image_size"]
+    num_texts = model_cfg.get("num_texts", 4)
+    seq_len = 184
+
+    rng = np.random.default_rng(seed)
+    images_np = rng.uniform(0.0, 1.0, (batch_size, h, w, 3)).astype(np.float32)
+    ids_np = rng.integers(100, model_cfg["vocab_size"] - 20,
+                          (batch_size * num_texts, seq_len)).astype(np.int32)
+
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.set_random_seed(seed)
+        image = tf1.placeholder(tf1.float32, images_np.shape)
+        input_ids = tf1.placeholder(tf1.int32, ids_np.shape)
+        model = MerlotModel(config=model_cfg, is_training=False,
+                            use_tpu=False, image=image, input_ids=input_ids,
+                            mask_input=False, log_attention_probs=False)
+        h0 = tf1.cast(model.encoder_hidden_states["lang"],
+                      tf1.float32)[:, 0, :]
+        with tf1.variable_scope("answer_cls"):
+            hid = tf1.layers.dense(
+                h0, model_cfg["hidden_size"] // 2, activation=ref_gelu,
+                kernel_initializer=create_initializer(
+                    model_cfg["initializer_range"]),
+                name="classifier_mlp0")
+            logits = tf1.layers.dense(
+                hid, 1,
+                kernel_initializer=create_initializer(
+                    model_cfg["initializer_range"]),
+                bias_initializer=tf1.constant_initializer(
+                    -math.log(3.0)),  # bias_pi=0.25
+                name="classifier_mlp1")
+        fetches = {
+            "hidden_lang": tf1.cast(model.encoder_hidden_states["lang"],
+                                    tf1.float32),
+            "answer_logits": tf1.reshape(logits,
+                                         [batch_size, num_texts]),
+        }
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            outs = sess.run(fetches, {image: images_np, input_ids: ids_np})
+            var_vals = {f"var:{v.name.split(':')[0]}": sess.run(v)
+                        for v in tf1.global_variables()
+                        if v.name.split(":")[0] != "global_step"}
+
+    payload = dict(var_vals)
+    payload.update({f"out:{k}": v for k, v in outs.items()})
+    payload.update({"in:images": images_np, "in:input_ids": ids_np})
+    np.savez(out_npz, **payload)
+    print(f"dumped {len(var_vals)} vcr vars + outputs to {out_npz}",
+          file=sys.stderr)
+
+
 def grover_forward_dump(out_npz: str,
                         config_path: str = f"{REFERENCE_ROOT}/data/groverdenoise/lm/configs/medium.json",
                         batch_size: int = 2, seq_len: int = 24,
@@ -350,6 +432,8 @@ def main() -> None:
                     help="run the fp32 forward oracle instead of the name dump")
     ap.add_argument("--grover-forward-dump", default=None, metavar="OUT_NPZ",
                     help="run the Grover LM forward oracle")
+    ap.add_argument("--vcr-forward-dump", default=None, metavar="OUT_NPZ",
+                    help="run the VCR-shaped (num_texts=4) forward oracle")
     ap.add_argument("--seq-len", type=int, default=24)
     ap.add_argument("--overrides", default=None,
                     help="JSON dict of model-config overrides")
@@ -362,6 +446,11 @@ def main() -> None:
         grover_forward_dump(args.grover_forward_dump, args.config,
                             batch_size=args.batch_size,
                             seq_len=args.seq_len)
+        return
+    if args.vcr_forward_dump:
+        vcr_forward_dump(args.vcr_forward_dump, args.config,
+                         batch_size=args.batch_size,
+                         config_overrides=overrides)
         return
     if args.forward_dump:
         reference_forward_dump(args.forward_dump, args.config,

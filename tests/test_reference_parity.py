@@ -84,3 +84,24 @@ def test_forward_parity_vs_reference_code(tmp_path):
                            "allpairs_lang_viz", "allpairs_viz_viz"}
     for name, r in report.items():
         assert r["max_abs"] < 5e-3, (name, r)
+
+
+def test_vcr_forward_parity_vs_reference_code(tmp_path):
+    """Reference VCR eval forward (num_texts=4 image duplication + answer
+    head, downstream/vcr/modeling.py:40-76) == ours after conversion."""
+    import json
+
+    from merlot_tpu.tools.checkpoint_parity import compare_vcr_forward_dump
+
+    overrides = dict(TINY)
+    overrides.pop("num_chunks_in_group")
+    npz = str(tmp_path / "vcr_dump.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "merlot_tpu.tools.tf1_name_oracle",
+         "--vcr-forward-dump", npz,
+         "--config", "/root/reference/model/configs/merlot_vcr.yaml",
+         "--overrides", json.dumps(overrides), "--batch-size", "2"],
+        capture_output=True, text=True, env=_cpu_env(), timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = compare_vcr_forward_dump(npz, overrides)
+    assert report["answer_logits"]["max_abs"] < 2e-3, report

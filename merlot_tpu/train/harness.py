@@ -99,6 +99,14 @@ class Trainer:
                         self.logger.log(step, host_metrics)
                         raise FloatingPointError(
                             f"non-finite loss {loss} at step {step}")
+                    # wall-clock throughput over the logging window (the
+                    # device_get above is the sync point)
+                    now = time.time()
+                    window = step - getattr(self, "_tp_step", start_step)
+                    if window > 0:
+                        host_metrics["perf/steps_per_sec"] = window / (
+                            now - getattr(self, "_tp_time", t_start))
+                    self._tp_step, self._tp_time = step, now
                     self.logger.log(step, host_metrics)
 
                 if step % self.checkpoint_every == 0 or step == num_steps:

@@ -105,6 +105,9 @@ def main():
     log(f"device: {dev}")
 
     cfg = _flagship_config()
+    if os.environ.get("BENCH_PALLAS_BWD"):  # 'pallas' | 'xla_recompute'
+        import merlot_tpu.ops.pallas_attention as _pa
+        _pa.BWD_MODE = os.environ["BENCH_PALLAS_BWD"]
     # experiment knobs (defaults = shipping config)
     # defaults = the measured-best training config (PERF.md): unrolled,
     # no remat, bf16 softmax, per-chip batch 8

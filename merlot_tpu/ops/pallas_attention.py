@@ -49,6 +49,15 @@ MASK_PENALTY = 1e10
 _COLSUM_SUBLANES = 8  # replicated rows so the colsum block is (8, lanes)
 MAX_KERNEL_SEQ = 2048  # VMEM budget guard; longer sequences fall back to XLA
 
+# Backward implementation, consulted at trace time:
+#   'pallas'        — the fused backward kernel (fastest; this environment's
+#                     remote compile helper crashes when MANY instances sit
+#                     in one full-model grad program, so training paths that
+#                     hit that use the next mode)
+#   'xla_recompute' — flash-style recompute through an XLA-equivalent
+#                     forward (one fused XLA computation, no saved probs)
+BWD_MODE = "pallas"
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref, *,
                  num_heads: int, d_head: int, scale: float,
@@ -357,13 +366,37 @@ def _fwd(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
     return out, (q3, k3, v3, mask)
 
 
+def _xla_equivalent(q3, k3, v3, mask, num_heads, softmax_fp32,
+                    collect_colsum):
+    """Same math through XLA (the recompute backward's forward)."""
+    from merlot_tpu.ops.attention import _xla_attention
+    b, sq, hd = q3.shape
+    sk = k3.shape[1]
+    d = hd // num_heads
+    ctx, extra = _xla_attention(
+        q3.reshape(b, sq, num_heads, d), k3.reshape(b, sk, num_heads, d),
+        v3.reshape(b, sk, num_heads, d), mask,
+        collect="colsum" if collect_colsum else "none",
+        softmax_fp32=softmax_fp32, mask_format="multiplicative")
+    if extra is None:
+        extra = jnp.zeros((b, sk), jnp.float32)
+    return ctx.reshape(b, sq, hd), extra
+
+
 def _bwd(num_heads, softmax_fp32, collect_colsum, res, grads):
     q3, k3, v3, mask = res
-    g_ctx, g_colsum = grads
-    dq, dk, dv = _flash_bwd_pallas(q3, k3, v3, mask, g_ctx, g_colsum,
-                                   num_heads=num_heads,
-                                   softmax_fp32=softmax_fp32,
-                                   use_gcol=collect_colsum)
+    if BWD_MODE == "pallas":
+        g_ctx, g_colsum = grads
+        dq, dk, dv = _flash_bwd_pallas(q3, k3, v3, mask, g_ctx, g_colsum,
+                                       num_heads=num_heads,
+                                       softmax_fp32=softmax_fp32,
+                                       use_gcol=collect_colsum)
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_equivalent(
+                q_, k_, v_, mask, num_heads, softmax_fp32, collect_colsum),
+            q3, k3, v3)
+        dq, dk, dv = vjp(grads)
     return dq, dk, dv, None
 
 

@@ -37,6 +37,8 @@ def _load_prev_baseline() -> float | None:
         try:
             with open(path) as f:
                 rec = json.load(f)
+            if isinstance(rec, dict) and rec.get("parsed"):
+                rec = rec["parsed"]  # the driver wraps the JSON line
             if isinstance(rec, dict) and rec.get("value"):
                 return float(rec["value"])
         except Exception:

@@ -116,3 +116,33 @@ def test_flash_qblocked_path(rng):
     for a, b in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_flash_random_shapes_property(rng, seed):
+    """Randomized shapes/heads/mask-density vs the XLA oracle — guards the
+    kernel's tiling/overhang logic at awkward sizes."""
+    r = np.random.default_rng(100 + seed)
+    b = int(r.integers(1, 4))
+    h = int(r.choice([1, 2, 4]))
+    d = int(r.choice([16, 32, 64]))
+    sq = int(r.integers(3, 90))
+    sk = sq if seed % 2 == 0 else int(r.integers(3, 90))
+    q = jnp.asarray(r.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, sk, h, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, sk, h, d)), jnp.float32)
+    use_mask = seed % 2 == 0
+    mask = None
+    if use_mask:
+        mask = jnp.asarray(r.random((b, sq, sk)) < 0.7, jnp.float32)
+    collect = "colsum" if sq == sk else "none"
+    with pltpu.force_tpu_interpret_mode():
+        ctx, extra = flash_attention(q, k, v, mask, collect=collect,
+                                     softmax_fp32=True)
+    ctx_ref, extra_ref = _xla_attention(q, k, v, mask, collect=collect,
+                                        softmax_fp32=True)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                               rtol=3e-5, atol=3e-5)
+    if collect == "colsum":
+        np.testing.assert_allclose(np.asarray(extra), np.asarray(extra_ref),
+                                   rtol=3e-5, atol=3e-5)

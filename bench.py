@@ -90,6 +90,76 @@ def bench_vit_encode():
                       "unit": "frames/s/chip", "vs_baseline": 1.0}))
 
 
+def bench_zero_shot():
+    """Zero-shot story ordering throughput at the real eval protocol
+    (5-segment 384x384 config, x2 duplication). BENCH_MODE=zeroshot."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from merlot_tpu.core.config import NeatConfig
+    from merlot_tpu.downstream.sort_story.zero_shot import make_zero_shot_fn
+    from merlot_tpu.models.config import MerlotConfig
+
+    cfg = yaml.safe_load(open(
+        "/root/reference/model/configs/merlot_5segments.yaml"))
+    mc = MerlotConfig.from_dict(NeatConfig.from_dict(cfg).model)
+    bs = int(os.environ.get("BENCH_ZS_BATCH", "2"))
+    rng = np.random.default_rng(0)
+    model, fn, init_fn = make_zero_shot_fn(mc, batch_size=bs, num_chunks=5)
+    images = jnp.asarray(rng.uniform(0, 1, (bs, 5, 384, 384, 3)), jnp.float32)
+    sents = jnp.asarray(rng.integers(100, 50000, (bs, 5, 32)), jnp.int32)
+    params = init_fn(jax.random.PRNGKey(0), images, sents)
+    out = fn(params, images, sents)
+    float(out["lang_viz_probs"].reshape(-1)[0])
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(params, images, sents)
+    float(out["lang_viz_probs"].reshape(-1)[0])
+    value = bs / ((time.time() - t0) / n)
+    print(json.dumps({"metric": "zero_shot_stories_per_sec",
+                      "value": round(value, 2), "unit": "stories/s/chip",
+                      "vs_baseline": 1.0}))
+
+
+def bench_vcr_eval():
+    """VCR eval throughput (384x704, 4 choices). BENCH_MODE=vcr."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from merlot_tpu.core.config import NeatConfig
+    from merlot_tpu.downstream.vcr.modeling import VCRModel
+    from merlot_tpu.models.config import MerlotConfig
+
+    cfg = yaml.safe_load(open("/root/reference/model/configs/merlot_vcr.yaml"))
+    mc = MerlotConfig.from_dict(NeatConfig.from_dict(cfg).model)
+    b = int(os.environ.get("BENCH_VCR_BATCH", "8"))
+    rng = np.random.default_rng(0)
+    model = VCRModel(mc)
+    images = jnp.asarray(rng.uniform(0, 1, (b, 384, 704, 3)), jnp.float32)
+    lm = jnp.asarray(rng.integers(100, 50000, (b, 4, 184)), jnp.int32)
+    v = jax.jit(lambda i, l: model.init(jax.random.PRNGKey(0), i, l,
+                                        mode="answer"))(images, lm)
+    f = jax.jit(lambda v, i, l: model.apply(v, i, l, mode="answer"))
+    float(f(v, images, lm).reshape(-1)[0])
+    n = 10
+    t0 = time.time()
+    out = None
+    for _ in range(n):
+        out = f(v, images, lm)
+    float(out.reshape(-1)[0])
+    value = b / ((time.time() - t0) / n)
+    print(json.dumps({"metric": "vcr_eval_examples_per_sec",
+                      "value": round(value, 2), "unit": "examples/s/chip",
+                      "vs_baseline": 1.0}))
+
+
 def main():
     import dataclasses
 
@@ -183,7 +253,12 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "vit":
+    _mode = os.environ.get("BENCH_MODE")
+    if _mode == "vit":
         bench_vit_encode()
+    elif _mode == "zeroshot":
+        bench_zero_shot()
+    elif _mode == "vcr":
+        bench_vcr_eval()
     else:
         main()

@@ -109,6 +109,9 @@ def compare_forward_dump(npz_path: str,
         for name, xa in (("lang_viz", h_lang), ("viz_viz", h_viz)):
             out[f"allpairs_{name}"] = mdl.temporal_logits(xa, h_viz,
                                                           which=name)
+        out["lm_logits8"] = mdl.lm_logits(
+            fwd["encoder_hidden_states"]["lang"].reshape(
+                -1, cfg.hidden_size)[:8])
         return out
 
     # our setup() declares every param eagerly (incl. the langonly tower the

@@ -243,6 +243,11 @@ def reference_forward_dump(out_npz: str,
         for name, xa in (("lang_viz", h_lang), ("viz_viz", h_viz)):
             fetches[f"allpairs_{name}"] = model.allpairs_temporal_logits(
                 xa=xa, xb=h_viz, scope_name=f"{name}_temporal")
+        # tied-embedding LM head on a fixed slice of lang positions (the
+        # mask-LM sampling itself is stochastic; this pins the head math)
+        lm_in = tf1.reshape(model.encoder_hidden_states["lang"],
+                            [-1, model.hidden_size])[:8]
+        fetches["lm_logits8"] = model.lm_head(lm_in)
 
         feed = {image: images_np, input_ids: ids_np, shuffled_idx: shuffled_np}
         with tf1.Session(graph=g) as sess:

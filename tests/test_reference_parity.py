@@ -80,7 +80,7 @@ def test_forward_parity_vs_reference_code(tmp_path):
     npz = str(tmp_path / "dump.npz")
     run_reference_dump(npz, TINY, timeout=420)
     report = compare_forward_dump(npz, TINY)
-    assert set(report) == {"hidden_lang", "hidden_viz",
+    assert set(report) == {"hidden_lang", "hidden_viz", "lm_logits8",
                            "allpairs_lang_viz", "allpairs_viz_viz"}
     for name, r in report.items():
         assert r["max_abs"] < 5e-3, (name, r)

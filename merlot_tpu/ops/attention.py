@@ -97,6 +97,18 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           softmax_fp32=softmax_fp32, mask_format=mask_format)
 
 
+import os
+
+# Layout for the XLA attention einsums:
+#   natural — q/k/v stay [B, S, H, D]; XLA picks operand layouts per einsum
+#             (profiling shows it inserts ~2 ms/layer of [B,S,H,D]->[B,H,S,D]
+#             copies in the BACKWARD of each einsum at ViT shapes)
+#   bhsd    — transpose q/k/v ONCE to [B, H, S, D] and run every einsum in
+#             batched-matmul form; 4 explicit transposes replace the many
+#             XLA-inserted ones
+_BHSD = os.environ.get("MERLOT_XLA_ATTN_BHSD", "0") == "1"
+
+
 def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
                    dropout_rng=None, softmax_fp32=True,
                    mask_format="multiplicative"):
@@ -107,8 +119,15 @@ def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
     # bf16), halving the [B,H,S,S] HBM traffic; fp32 is the safer default
     sm_dtype = jnp.float32 if softmax_fp32 else q.dtype
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=sm_dtype) * scale
+    if _BHSD:
+        qt = jnp.transpose(q, (0, 2, 1, 3))
+        kt = jnp.transpose(k, (0, 2, 1, 3))
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                            preferred_element_type=sm_dtype) * scale
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=sm_dtype) * scale
 
     if mask is not None and mask_format == "bias":
         # mask IS a precomputed additive bias (0 attend / -1e10 blocked);
@@ -135,6 +154,11 @@ def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
 
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if _BHSD:
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), vt,
+                         preferred_element_type=jnp.float32)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3))
+    else:
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                         preferred_element_type=jnp.float32)
     return ctx.astype(q.dtype), extra

@@ -54,12 +54,19 @@ MAX_KERNEL_SEQ = 2048  # VMEM budget guard; longer sequences fall back to XLA
 #                     remote compile helper crashes when MANY instances sit
 #                     in one full-model grad program, so training paths that
 #                     hit that use the next mode)
+#   'xla_probs'     — the forward kernel EMITS the probs tensor (exactly what
+#                     XLA's own backward saves), and the backward is pure XLA
+#                     einsums with no recompute: the kernel's forward win
+#                     (no transposes, fused softmax) + XLA's cheap
+#                     saved-probs backward. Compiles inside full-model grad
+#                     programs (only the bwd kernel crashes the helper).
 #   'xla_recompute' — flash-style recompute through an XLA-equivalent
 #                     forward (one fused XLA computation, no saved probs)
 BWD_MODE = "pallas"
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref, *,
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref,
+                 probs_ref=None, *,
                  num_heads: int, d_head: int, scale: float,
                  softmax_fp32: bool, collect_colsum: bool,
                  sq: int, q_blk: int):
@@ -67,7 +74,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref, *,
 
     q_ref  [1, q_blk, H*D]; k_ref/v_ref [1, Sk, H*D];
     mask_ref [1, q_blk, Sk] f32 (1=attend) or None;
-    o_ref  [1, q_blk, H*D]; colsum_ref [1, 8, Sk] f32 or None.
+    o_ref  [1, q_blk, H*D]; colsum_ref [1, 8, Sk] f32 or None;
+    probs_ref [1, q_blk, H*Sk] sm_dtype or None (saved-probs backward).
     """
     qb = pl.program_id(1)
     qq = q_ref[0]
@@ -79,6 +87,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref, *,
 
     colsum_acc = None
     outs = []
+    probs_out = []
     for h in range(num_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
         scores = jax.lax.dot_general(
@@ -93,6 +102,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref, *,
             probs.astype(qq.dtype), vv[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         outs.append(ctx.astype(o_ref.dtype))
+        if probs_ref is not None:
+            probs_out.append(probs.astype(probs_ref.dtype))
         if collect_colsum:
             p32 = probs.astype(jnp.float32)
             # only REAL query rows contribute (the grid may overhang sq)
@@ -103,6 +114,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref, *,
             colsum_acc = part if colsum_acc is None else colsum_acc + part
 
     o_ref[0] = jnp.concatenate(outs, axis=1)
+    if probs_ref is not None:
+        # [q_blk, H*Sk] row layout — a 4-D [1, H, q_blk, Sk] out block
+        # (batched-matmul layout) crashes this environment's remote compile
+        # helper at B8; the row layout compiles, and XLA folds the reshape
+        # into the backward einsums' operand layouts
+        probs_ref[0] = jnp.concatenate(probs_out, axis=1)
 
     if collect_colsum:
         partial = jnp.broadcast_to(colsum_acc / num_heads,
@@ -119,15 +136,43 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _fwd_q_block(sq: int, sk: int, hd: int, num_heads: int, in_bytes: int,
+                 has_mask: bool, emit_probs: bool, probs_bytes: int,
+                 budget: int = 11 << 20) -> int:
+    """Largest forward q block whose VMEM footprint fits (Mosaic
+    double-buffers every in/out block across grid steps)."""
+    def est(q_blk: int) -> int:
+        blocks = (q_blk * hd * in_bytes          # q in
+                  + 2 * sk * hd * in_bytes       # k + v in
+                  + q_blk * hd * in_bytes        # o out
+                  + (q_blk * sk * 4 if has_mask else 0)
+                  + (q_blk * num_heads * sk * probs_bytes
+                     if emit_probs else 0))
+        interm = 2 * q_blk * sk * 4              # scores/probs fp32
+        return 2 * blocks + interm
+
+    if sq <= 512 and est(sq) <= budget:
+        return sq
+    for q_blk in (512, 384, 256, 128, 64):
+        if q_blk <= sq and est(q_blk) <= budget:
+            return q_blk
+    return 64
+
+
 def _flash_fwd(q3, k3, v3, mask, *, num_heads: int,
-               softmax_fp32: bool, collect_colsum: bool):
-    """q3 [B, Sq, H*D]; k3/v3 [B, Sk, H*D]; mask [B, Sq, Sk] or None."""
+               softmax_fp32: bool, collect_colsum: bool,
+               emit_probs: bool = False):
+    """q3 [B, Sq, H*D]; k3/v3 [B, Sk, H*D]; mask [B, Sq, Sk] or None.
+    emit_probs additionally returns the probs tensor [B, Sq, H, Sk] in
+    sm_dtype — the residual for the saved-probs ('xla_probs') backward."""
     b, sq, hd = q3.shape
     sk = k3.shape[1]
     d = hd // num_heads
+    sm_dtype = jnp.float32 if softmax_fp32 else q3.dtype
 
-    # one q-block when the score tile fits VMEM comfortably; else split
-    q_blk = sq if sq <= 512 else 512
+    q_blk = _fwd_q_block(sq, sk, hd, num_heads, q3.dtype.itemsize,
+                         mask is not None, emit_probs,
+                         jnp.dtype(sm_dtype).itemsize)
     n_qb = _ceil_div(sq, q_blk)
     grid = (b, n_qb)
 
@@ -149,17 +194,21 @@ def _flash_fwd(q3, k3, v3, mask, *, num_heads: int,
             jax.ShapeDtypeStruct((b, _COLSUM_SUBLANES, sk), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, _COLSUM_SUBLANES, sk), lambda bi, qi: (bi, 0, 0)))
+    if emit_probs:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, sq, num_heads * sk), sm_dtype))
+        out_specs.append(
+            pl.BlockSpec((1, q_blk, num_heads * sk),
+                         lambda bi, qi: (bi, qi, 0)))
 
     def kernel(*refs):
-        if mask is not None and collect_colsum:
-            q_ref, k_ref, v_ref, m_ref, o_ref, c_ref = refs
-        elif mask is not None:
-            (q_ref, k_ref, v_ref, m_ref, o_ref), c_ref = refs, None
-        elif collect_colsum:
-            (q_ref, k_ref, v_ref, o_ref, c_ref), m_ref = refs, None
-        else:
-            (q_ref, k_ref, v_ref, o_ref), m_ref, c_ref = refs, None, None
-        _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, c_ref,
+        n_in = len(args)
+        ins, outs = refs[:n_in], refs[n_in:]
+        m_ref = ins[3] if mask is not None else None
+        o_ref = outs[0]
+        c_ref = outs[1] if collect_colsum else None
+        p_ref = outs[-1] if emit_probs else None
+        _attn_kernel(ins[0], ins[1], ins[2], m_ref, o_ref, c_ref, p_ref,
                      num_heads=num_heads, d_head=d, scale=1.0 / (d ** 0.5),
                      softmax_fp32=softmax_fp32,
                      collect_colsum=collect_colsum, sq=sq, q_blk=q_blk)
@@ -174,10 +223,11 @@ def _flash_fwd(q3, k3, v3, mask, *, num_heads: int,
             dimension_semantics=("parallel", "arbitrary")),
     )(*args)
 
-    if collect_colsum:
-        ctx, colsum = outs
-        return ctx, colsum[:, 0, :]
-    return outs[0], None
+    ctx = outs[0]
+    colsum = outs[1][:, 0, :] if collect_colsum else None
+    probs = (outs[-1].reshape(b, sq, num_heads, sk)
+             if emit_probs else None)           # [B, Sq, H, Sk]
+    return ctx, colsum, probs
 
 
 # ----------------------------------------------------------------------
@@ -353,17 +403,25 @@ def _flash_bwd_pallas(q3, k3, v3, mask, g3, gcol, *, num_heads: int,
 # ----------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
-    ctx, colsum = _flash_fwd(q3, k3, v3, mask, num_heads=num_heads,
-                             softmax_fp32=softmax_fp32,
-                             collect_colsum=collect_colsum)
+    ctx, colsum, _ = _flash_fwd(q3, k3, v3, mask, num_heads=num_heads,
+                                softmax_fp32=softmax_fp32,
+                                collect_colsum=collect_colsum)
     if colsum is None:
         colsum = jnp.zeros((q3.shape[0], k3.shape[1]), jnp.float32)
     return ctx, colsum
 
 
 def _fwd(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
+    if BWD_MODE == "xla_probs":
+        ctx, colsum, probs = _flash_fwd(
+            q3, k3, v3, mask, num_heads=num_heads,
+            softmax_fp32=softmax_fp32, collect_colsum=collect_colsum,
+            emit_probs=True)
+        if colsum is None:
+            colsum = jnp.zeros((q3.shape[0], k3.shape[1]), jnp.float32)
+        return (ctx, colsum), (q3, k3, v3, mask, probs)
     out = _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum)
-    return out, (q3, k3, v3, mask)
+    return out, (q3, k3, v3, mask, None)
 
 
 def _xla_equivalent(q3, k3, v3, mask, num_heads, softmax_fp32,
@@ -383,9 +441,59 @@ def _xla_equivalent(q3, k3, v3, mask, num_heads, softmax_fp32,
     return ctx.reshape(b, sq, hd), extra
 
 
+def _bwd_xla_probs(q3, k3, v3, mask, probs, g_ctx, g_colsum, *,
+                   num_heads, collect_colsum):
+    """Saved-probs backward, pure XLA einsums (what XLA's autodiff of the
+    softmax-attention chain computes, minus any recompute):
+
+      dV = P^T dO;  dP = dO V^T (+ g_colsum/H on the colsum path)
+      dS = P * (dP - rowsum(dP * P));  dS = dS * mask * scale
+      dQ = dS K;  dK = dS^T Q
+
+    P arrives as [B, Sq, H, Sk] from the forward kernel, and every
+    elementwise op on [B, H, S, S]-sized tensors stays in P's dtype (bf16
+    on the training path) — upcasting them to fp32 doubles the dominant
+    HBM traffic of the whole backward (measured: 207 vs 233 seg/s/chip).
+    """
+    b, sq, hd = q3.shape
+    sk = k3.shape[1]
+    d = hd // num_heads
+    scale = 1.0 / (d ** 0.5)
+    pt = probs.dtype
+    q4 = q3.reshape(b, sq, num_heads, d)
+    k4 = k3.reshape(b, sk, num_heads, d)
+    v4 = v3.reshape(b, sk, num_heads, d)
+    do = g_ctx.reshape(b, sq, num_heads, d)
+
+    dv = jnp.einsum("bqhk,bqhd->bkhd", probs, do,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bqhk", do, v4,
+                    preferred_element_type=pt)
+    if collect_colsum:
+        # colsum = mean_h sum_q P  ->  d colsum / dP = g_colsum / H
+        dp = dp + (g_colsum[:, None, None, :] / num_heads).astype(pt)
+    row = jnp.sum((dp * probs).astype(jnp.float32), axis=-1, keepdims=True)
+    ds = probs * (dp - row.astype(pt))
+    if mask is not None:
+        ds = ds * mask.astype(pt)[:, :, None, :]
+    ds = (ds * jnp.asarray(scale, pt)).astype(q3.dtype)
+    dq = jnp.einsum("bqhk,bkhd->bqhd", ds, k4,
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bqhk,bqhd->bkhd", ds, q4,
+                    preferred_element_type=jnp.float32)
+    return (dq.astype(q3.dtype).reshape(b, sq, hd),
+            dk.astype(k3.dtype).reshape(b, sk, hd),
+            dv.astype(v3.dtype).reshape(b, sk, hd))
+
+
 def _bwd(num_heads, softmax_fp32, collect_colsum, res, grads):
-    q3, k3, v3, mask = res
-    if BWD_MODE == "pallas":
+    q3, k3, v3, mask, probs = res
+    if probs is not None:  # saved by the 'xla_probs' forward
+        g_ctx, g_colsum = grads
+        dq, dk, dv = _bwd_xla_probs(q3, k3, v3, mask, probs, g_ctx, g_colsum,
+                                    num_heads=num_heads,
+                                    collect_colsum=collect_colsum)
+    elif BWD_MODE == "pallas":
         g_ctx, g_colsum = grads
         dq, dk, dv = _flash_bwd_pallas(q3, k3, v3, mask, g_ctx, g_colsum,
                                        num_heads=num_heads,

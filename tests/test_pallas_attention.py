@@ -86,6 +86,39 @@ def test_flash_backward_matches_xla(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["xla_probs", "xla_recompute"])
+@pytest.mark.parametrize("masked", [True, False])
+def test_flash_backward_modes_match_xla(rng, monkeypatch, mode, masked):
+    """The non-pallas backward modes (saved-probs / recompute) against XLA
+    autodiff — 'xla_probs' is the training hybrid (kernel fwd emits probs,
+    backward is pure XLA einsums with no recompute)."""
+    import merlot_tpu.ops.pallas_attention as pa
+    monkeypatch.setattr(pa, "BWD_MODE", mode)
+    s = 37
+    q, k, v = _mk(rng, 2, s, s)
+    mask = None
+    if masked:
+        mask = jnp.asarray(rng.random((2, s, s)) < 0.8, jnp.float32)
+        mask = jnp.maximum(mask, jnp.eye(s)[None])
+
+    def loss_flash(q, k, v):
+        ctx, colsum = flash_attention(q, k, v, mask, collect="colsum",
+                                      softmax_fp32=True)
+        return jnp.sum(jnp.sin(ctx)) + jnp.sum(colsum * 0.1)
+
+    def loss_xla(q, k, v):
+        ctx, colsum = _xla_attention(q, k, v, mask, collect="colsum",
+                                     softmax_fp32=True)
+        return jnp.sum(jnp.sin(ctx)) + jnp.sum(colsum * 0.1)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_flash_qblocked_path(rng):
     """Sq > 512 exercises the multi-q-block grid + colsum accumulation."""
     q, k, v = _mk(rng, 1, 520, 520, h=1, d=16)

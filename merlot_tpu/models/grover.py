@@ -142,9 +142,17 @@ class GroverLM(nn.Module):
                  deterministic: bool = True,
                  return_hidden: bool = False):
         """Forward. Training: cache=None, causal within the sequence.
-        Decoding: cache = {'k','v'} [num_layers, B, max_len, n_h, d]; the
-        current chunk is written at position_offset and attention covers
-        cache positions < position_offset + S.
+        Decoding: cache = {'k00','v00','k01',...} per-layer [B, max_len,
+        n_h, d] buffers (see ``empty_cache``); the current chunk is written
+        at position_offset and attention covers cache positions <
+        position_offset + S.
+
+        The cache is per-layer dict entries, NOT one stacked [L, ...]
+        array: a stacked cache forces a dynamic-slice copy of the layer's
+        buffer on read plus a full-cache jnp.stack copy per decode step —
+        profiled at ~10 ms/step (~2 GB of pure copies) for grover-medium at
+        batch 8. Flat entries are aliased in place across lax.while_loop
+        iterations (tiny [B, 1, n_h, d] writes, zero-copy reads).
 
         Returns (logits [B, S, vocab], new_cache | None); with
         return_hidden, (logits, new_cache, hidden [B, S, H]) — for
@@ -170,39 +178,50 @@ class GroverLM(nn.Module):
 
         q_pos = position_offset + jnp.arange(s)
         if cache is not None:
-            max_len = cache["k"].shape[2]
+            max_len = cache["k00"].shape[1]
             k_pos = jnp.arange(max_len)
             mask = (k_pos[None] <= q_pos[:, None]).astype(jnp.float32)[None]
         else:
             mask = (jnp.arange(s)[None] <= q_pos[:, None]
                     ).astype(jnp.float32)[None]
 
-        new_k, new_v = [], []
+        new_cache = {} if cache is not None else None
         for i in range(c.num_hidden_layers):
-            ck = cache["k"][i] if cache is not None else None
-            cv = cache["v"][i] if cache is not None else None
+            ck = cache[f"k{i:02d}"] if cache is not None else None
+            cv = cache[f"v{i:02d}"] if cache is not None else None
             h, ck, cv = GroverLayer(c, name=f"layer{i:02d}")(
                 h, mask, kv_write_pos=position_offset, cache_k=ck, cache_v=cv,
                 deterministic=deterministic)
             if cache is not None:
-                new_k.append(ck)
-                new_v.append(cv)
+                new_cache[f"k{i:02d}"] = ck
+                new_cache[f"v{i:02d}"] = cv
 
-        logits = jnp.dot(h.astype(jnp.float32), table.T,
-                         preferred_element_type=jnp.float32)
-        new_cache = ({"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-                     if cache is not None else None)
+        if c.use_bfloat16:
+            # bf16 operands, fp32 accumulate — matches the reference's
+            # bfloat16-getter semantics (embedding cast to bf16 at use) and
+            # keeps XLA from materializing an fp32 copy of the [V, H] table
+            # inside the decode loop
+            logits = jnp.dot(h, table.astype(h.dtype).T,
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.dot(h.astype(jnp.float32), table.T,
+                             preferred_element_type=jnp.float32)
         if return_hidden:
             return logits, new_cache, h
         return logits, new_cache
 
     # ------------------------------------------------------------------
     def empty_cache(self, batch_size: int, max_len: int) -> Dict[str, jnp.ndarray]:
+        """Per-layer KV buffers {'k00','v00',...} [B, max_len, n_h, d]
+        (flat entries alias in place across decode steps — see __call__)."""
         c = self.cfg
-        shape = (c.num_hidden_layers, batch_size, max_len,
-                 c.num_attention_heads, c.d_head)
+        shape = (batch_size, max_len, c.num_attention_heads, c.d_head)
         dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        out: Dict[str, jnp.ndarray] = {}
+        for i in range(c.num_hidden_layers):
+            out[f"k{i:02d}"] = jnp.zeros(shape, dtype)
+            out[f"v{i:02d}"] = jnp.zeros(shape, dtype)
+        return out
 
 
 def pooled_hidden(hidden: jnp.ndarray, input_ids: jnp.ndarray,
@@ -238,16 +257,11 @@ def grover_lm_loss(logits: jnp.ndarray, input_ids: jnp.ndarray,
 # ----------------------------------------------------------------------
 # sampling
 # ----------------------------------------------------------------------
-def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
-                 ignore_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Nucleus sampling with the reference's keep rule (reference: :331-386):
-    keep tokens whose EXCLUSIVE-cumulative mass < p, always keep the argmax,
-    sample in sorted space. logits [B, V] -> [B] int32."""
-    if ignore_ids is not None:
-        logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
-    if p > 0.999999:
-        return jax.random.categorical(key, logits).astype(jnp.int32)
-
+def _top_p_full_sort(key: jax.Array, logits: jnp.ndarray,
+                     p: float) -> jnp.ndarray:
+    """The reference's literal algorithm: full-vocab sort (reference:
+    :331-386). O(V log V) per row — the prefiltered path below is
+    distribution-identical and ~10x cheaper at V=50k."""
     probs = jax.nn.softmax(logits, axis=-1)
     order = jnp.argsort(-probs, axis=-1)
     sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
@@ -261,22 +275,84 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
     return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
-def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,
-                 ignore_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
+                 ignore_ids: Optional[jnp.ndarray] = None,
+                 k_prefilter: int = 1024) -> jnp.ndarray:
+    """Nucleus sampling with the reference's keep rule (reference: :331-386):
+    keep tokens whose cumulative mass (inclusive) is < p, always keep the
+    argmax, sample in sorted space. logits [B, V] -> [B] int32.
+
+    The reference sorts the FULL vocab per step; that sort is the per-row
+    serving bottleneck (it does not batch — measured ~3 ms/row at V=50270 on
+    v5e, dominating the decode step). With ``k_prefilter`` > 0 the sort is
+    replaced by ``lax.top_k(k_prefilter)`` + a full-vocab logsumexp for the
+    exact softmax denominator. The kept set is provably identical whenever
+    the nucleus fits inside the top-k (the k-th inclusive cumsum >= p
+    implies every rank beyond k is excluded by the keep rule); when it does
+    not fit for ANY row, a ``lax.cond`` falls back to the full sort for the
+    whole batch, so the sampled DISTRIBUTION always matches the reference
+    exactly. ``k_prefilter=0`` forces the literal full-sort path."""
     if ignore_ids is not None:
         logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
+    if p > 0.999999:
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
     vocab = logits.shape[-1]
-    order = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
-    sorted_logits = sorted_logits - (jnp.arange(vocab)[None] >= k) * 1e10
-    pick = jax.random.categorical(key, sorted_logits)
-    return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    if not k_prefilter or k_prefilter >= vocab:
+        return _top_p_full_sort(key, logits, p)
+
+    k = k_prefilter
+    top_logits, top_idx = jax.lax.top_k(logits, k)   # sorted descending
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    sorted_probs = jnp.exp(top_logits - lse)         # exact full-vocab probs
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (csum < p) | (jnp.arange(k)[None] < 1)
+    nucleus_fits = jnp.all(csum[:, -1] >= p)
+
+    def fast(key):
+        masked = top_logits - (~keep).astype(jnp.float32) * 1e10
+        pick = jax.random.categorical(key, masked)
+        return jnp.take_along_axis(
+            top_idx, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    return jax.lax.cond(nucleus_fits, fast,
+                        lambda key: _top_p_full_sort(key, logits, p), key)
+
+
+def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,
+                 ignore_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Top-k sampling (reference: :389-421). ``lax.top_k`` replaces the
+    reference's full-vocab sort — identical kept set and renormalized
+    distribution, O(V·k) instead of O(V log V)."""
+    if ignore_ids is not None:
+        logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
+    top_logits, top_idx = jax.lax.top_k(logits, k)
+    pick = jax.random.categorical(key, top_logits)
+    return jnp.take_along_axis(
+        top_idx, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def cast_params_for_serving(variables):
+    """Serving fast path: store matrices/embeddings in bf16 on device.
+
+    Decode at batch<=8 is HBM-bandwidth-bound (every step reads every
+    weight); halving the stored bytes ~halves the step time. Norm scales
+    and biases (1-D) stay fp32 — LayerNorm statistics are computed in fp32
+    regardless (ops/norms.py), so this only changes matmul operand
+    precision, the same contract training uses (fp32 master weights, bf16
+    compute). Use with ``GroverConfig(use_bfloat16=True)`` so activations
+    and the KV cache are bf16 too."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if (hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2)
+        else x, variables)
 
 
 def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
                          p_for_topp: float = 0.95,
                          eos_token: int = 3,
-                         ignore_pad_only: bool = True):
+                         ignore_pad_only: bool = True,
+                         k_prefilter: int = 1024):
     """Build a jitted seq2seq sampler.
 
     fn(params, initial_context [B, L0] (pad = generate here), key)
@@ -312,7 +388,8 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
         probs = jax.lax.dynamic_update_slice(probs, ctx_probs, (0, 1))
 
         def pick_token(pos, logits_last, k):
-            sampled = top_p_sample(k, logits_last, p_for_topp, ignore_ids)
+            sampled = top_p_sample(k, logits_last, p_for_topp, ignore_ids,
+                                   k_prefilter=k_prefilter)
             # force-feed: if the padded context still has a token at pos, use it
             in_ctx = pos < l0
             ctx_tok = jax.lax.dynamic_slice_in_dim(

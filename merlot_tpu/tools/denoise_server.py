@@ -43,17 +43,23 @@ class Denoiser:
 
     def __init__(self, config_path: str, ckpt_path: Optional[str] = None,
                  max_len: int = 1537, top_p: float = 0.94,
-                 max_ctx: int = 1280):
+                 max_ctx: int = 1280, bf16: bool = False,
+                 k_prefilter: int = 1024):
+        import dataclasses
         import jax
         from merlot_tpu.core.tokenizer import get_grover_tokenizer
         from merlot_tpu.models.grover import GroverConfig, GroverLM
 
         self.tok = get_grover_tokenizer()
         self.cfg = GroverConfig.from_json_file(config_path)
+        if bf16:  # serving fast path: bf16 matrices + KV cache (~2.5x decode)
+            self.cfg = dataclasses.replace(self.cfg, use_bfloat16=True)
         self.model = GroverLM(self.cfg)
         self.max_len = max_len
         self.top_p = top_p
         self.max_ctx = max_ctx
+        self.bf16 = bf16
+        self.k_prefilter = k_prefilter
         self._samplers = {}
         self._key = jax.random.PRNGKey(int(time.time()))
 
@@ -66,6 +72,9 @@ class Denoiser:
             import jax.numpy as jnp
             ids = jnp.zeros((1, 8), jnp.int32)
             self.params = self.model.init(jax.random.PRNGKey(0), ids)
+        if bf16:
+            from merlot_tpu.models.grover import cast_params_for_serving
+            self.params = cast_params_for_serving(self.params)
 
     def _sampler(self, prefix_len: int, eos_token: int):
         from merlot_tpu.models.grover import make_seq2seq_sampler
@@ -73,7 +82,8 @@ class Denoiser:
         if key not in self._samplers:
             self._samplers[key] = make_seq2seq_sampler(
                 self.model, max_len=self.max_len, prefix_len=prefix_len,
-                p_for_topp=self.top_p, eos_token=eos_token)
+                p_for_topp=self.top_p, eos_token=eos_token,
+                k_prefilter=self.k_prefilter)
         return self._samplers[key]
 
     def denoise(self, noisyasr: str, target: str = "cleanasr"):
@@ -153,11 +163,16 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--max_len", type=int, default=1537)
     ap.add_argument("--top_p", type=float, default=0.94)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16-stored weights + KV cache (~2.5x decode)")
+    ap.add_argument("--k_prefilter", type=int, default=1024,
+                    help="top-p sort prefilter (0 = full-vocab sort)")
     ap.add_argument("--log", default="denoise_log.jsonl")
     args = ap.parse_args(argv)
 
     denoiser = Denoiser(args.config, args.ckpt, max_len=args.max_len,
-                        top_p=args.top_p)
+                        top_p=args.top_p, bf16=args.bf16,
+                        k_prefilter=args.k_prefilter)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(denoiser, args.log))
     print(f"READY FOR GENERATION on :{args.port}", flush=True)

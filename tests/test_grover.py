@@ -92,6 +92,35 @@ def test_top_p_semantics():
     assert set(np.unique(samples)) <= {0, 1}
 
 
+def test_top_p_prefilter_matches_full_sort():
+    """The lax.top_k prefiltered nucleus path: identical kept set when the
+    nucleus fits in k, and bit-identical fallback to the full sort when it
+    does not (the lax.cond branch calls the full path with the same key)."""
+    from merlot_tpu.models.grover import _top_p_full_sort
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]] * 500))
+    # nucleus {0} fits in k=2 (csum[1]=0.8 >= 0.6): fast path, kept set {0}
+    s = np.asarray(top_p_sample(jax.random.PRNGKey(0), logits, p=0.6,
+                                k_prefilter=2))
+    assert set(np.unique(s)) == {0}
+    # nucleus {0,1} exactly fills k=2 (csum[1]=0.8 >= 0.81 is False ->
+    # cannot prove it fits): fallback must BIT-match the full sort
+    s_pre = top_p_sample(jax.random.PRNGKey(1), logits, p=0.81, k_prefilter=2)
+    s_full = _top_p_full_sort(jax.random.PRNGKey(1), logits, p=0.81)
+    np.testing.assert_array_equal(np.asarray(s_pre), np.asarray(s_full))
+    # wide-nucleus random logits, k covers it: kept set == full-sort kept set
+    rng = np.random.default_rng(0)
+    wide = jnp.asarray(rng.normal(0, 2, (4, 300)), jnp.float32)
+    for key in range(20):
+        a = np.asarray(top_p_sample(jax.random.PRNGKey(key), wide, p=0.9,
+                                    k_prefilter=128))
+        probs = np.asarray(jax.nn.softmax(wide, -1))
+        for row, tok in enumerate(a):
+            order = np.argsort(-probs[row])
+            csum = np.cumsum(probs[row][order])
+            kept = set(order[(csum < 0.9)]) | {order[0]}
+            assert int(tok) in kept
+
+
 def test_seq2seq_sampler_force_feeds_context(rng):
     model = GroverLM(TINY)
     ids0 = jnp.asarray(rng.integers(1, 50257, (2, 8)), jnp.int32)

@@ -143,11 +143,16 @@ def shuffle_chunks(batch: Dict[str, np.ndarray],
     trg_idx = new_chunkid * nchunk + np.arange(nchunk, dtype=np.int32)[None]
     idx = np.argsort(trg_idx, axis=1)
     out = dict(batch)
+    # fancy row indexing, NOT np.take_along_axis: take_along_axis broadcasts
+    # the index to the operand's FULL shape (for [B,16,192,352,3] images
+    # that is a 26M-element int64 index + scalar gather — profiled at
+    # ~1.1 s/batch, the whole loader's budget); advanced indexing gathers
+    # whole chunk rows via memcpy. Semantics identical.
+    rows = np.arange(bsz)[:, None]
     for k in ("images", "input_ids", "is_eoc", "video_src_ids", "mean_time",
               "chunk_num", "youtube_id"):
         if k in out:
-            out[k] = np.take_along_axis(
-                out[k], idx.reshape(idx.shape + (1,) * (out[k].ndim - 2)), axis=1)
+            out[k] = out[k][rows, idx]
     return out
 
 
@@ -218,7 +223,13 @@ class PretrainLoader:
         self.config = config
         self.batch_size = batch_size
         self.is_training = is_training
-        self.num_threads = num_threads
+        # never oversubscribe the host: the parse work is numpy-CPU-bound,
+        # and more pool threads than cores THRASHES (measured on a 1-core
+        # host: 181 seg/s at 1 thread vs 12.7 at 4 — GIL + cache churn);
+        # on real TPU hosts (>10 cores) the requested count stands
+        import os as _os
+        self.num_threads = max(1, min(num_threads, _os.cpu_count() or
+                                      num_threads))
         self.shuffle_buffer = shuffle_buffer if is_training else 0
         self.prefetch = prefetch
         self.seed = seed
@@ -330,28 +341,87 @@ class PretrainLoader:
             stop.set()
 
 
-def device_put_iterator(it, sharding=None, images_bf16: bool = True):
+def device_put_iterator(it, sharding=None, images_bf16: bool = True,
+                        images_u8: bool = False, threaded: bool = True):
     """Double-buffered host->device transfer (the infeed-queue analogue).
 
     images_bf16 casts the float image tensor to bf16 on the host before the
     transfer — halves infeed bytes with NO compute-path change (the model's
     first conv casts to bf16 anyway; the reference's bf16 infeed does the
     same, model/dataloader.py:259-264 + use_bfloat16). Pass False for fp32
-    models."""
+    models.
+
+    images_u8 quantizes the float [0,1] images to uint8 instead — HALVES
+    the bytes AGAIN vs bf16 (1 B/px); the backbone dequantizes on device
+    (nn/vit.py). NOT bit-identical: resize/augment interpolation values are
+    rounded to 1/255 steps (error <= 1/510/pixel, same order as the bf16
+    rounding the default already applies). Off by default; the lever for
+    hosts where the infeed link, not the loader, is the bottleneck.
+
+    threaded runs the device_put on a dedicated thread (depth-2 queue):
+    same double buffering when transfers are async, but also hides
+    transfers that BLOCK, like the axon tunnel's synchronous upload."""
     import jax
     import jax.numpy as jnp
 
     def prep(batch):
-        if images_bf16 and "images" in batch:
+        if images_u8 and "images" in batch:
+            batch = dict(batch)
+            batch["images"] = np.clip(
+                np.round(batch["images"] * 255.0), 0, 255).astype(np.uint8)
+        elif images_bf16 and "images" in batch:
             batch = dict(batch)
             batch["images"] = batch["images"].astype(jnp.bfloat16)
         return batch
 
+    def put(batch):
+        return (jax.device_put(batch, sharding) if sharding is not None
+                else jax.device_put(batch))
+
+    if threaded:
+        # run device_put on a dedicated thread so a transfer that BLOCKS
+        # (e.g. the axon tunnel's synchronous upload) overlaps the device
+        # step instead of serializing with it; depth-2 queue = the same
+        # double buffering
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in it:
+                    arr = put(prep(batch))
+                    while not stop.is_set():
+                        try:
+                            q.put(arr, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.2)
+                        return
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                arr = q.get()
+                if arr is None:
+                    return
+                yield arr
+        finally:
+            stop.set()
+        return
+
     prev = None
     for batch in it:
         batch = prep(batch)
-        nxt = jax.device_put(batch, sharding) if sharding is not None \
-            else jax.device_put(batch)
+        nxt = put(batch)
         if prev is not None:
             yield prev
         prev = nxt

@@ -199,6 +199,20 @@ class TransformerEncoder(nn.Module):
     """
     hp: TransformerHParams
 
+    def init_cache(self, batch_size: int, max_len: int,
+                   dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        """Preallocated per-layer KV buffers {'k00','v00',...}
+        [B, max_len, heads, d] — flat entries alias in place across decode
+        steps (a stacked [L, ...] pair pays slice+stack copies per step)."""
+        hp = self.hp
+        shape = (batch_size, max_len, hp.num_heads,
+                 hp.hidden_size // hp.num_heads)
+        out: Dict[str, jnp.ndarray] = {}
+        for i in range(hp.num_layers):
+            out[f"k{i:02d}"] = jnp.zeros(shape, dtype)
+            out[f"v{i:02d}"] = jnp.zeros(shape, dtype)
+        return out
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray], *,
                  collect: str = "none", deterministic: bool = True,
@@ -208,10 +222,10 @@ class TransformerEncoder(nn.Module):
                  cache: Optional[Dict[str, jnp.ndarray]] = None,
                  cache_pos=0) -> Dict[str, jnp.ndarray]:
         """x_enc: cross-attention source [B, S_enc, H] (K/V come from it).
-        cache: stacked KV cache {'k','v'} [num_layers, B, max_len, heads, d]
-        written at cache_pos; the updated cache is returned under
-        'new_cache'. Both are unrolled-mode only (like the reference, which
-        never combines them with scan)."""
+        cache: per-layer KV buffers {'k00','v00',...} [B, max_len, heads, d]
+        (see ``init_cache``) written at cache_pos; the updated cache is
+        returned under 'new_cache'. Both are unrolled-mode only (like the
+        reference, which never combines them with scan)."""
         x = x.astype(self.hp.dtype)
         if mask is not None and mask.dtype != jnp.float32:
             mask = mask.astype(jnp.float32)
@@ -298,7 +312,14 @@ class TransformerEncoder(nn.Module):
                                          policy=_remat_policy(self.hp.remat_policy))
                 layer = layer_cls(self.hp, name=f"layer{i:02d}")
                 if cache is not None:
-                    layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
+                    # per-layer dict entries, not one stacked [L, ...] pair:
+                    # a stacked cache costs a dynamic-slice copy per layer
+                    # on read plus a full-cache jnp.stack per decode step
+                    # (profiled at ~10 ms/step for grover-medium b8 — same
+                    # fix as models/grover.py); flat entries alias in place
+                    # across decode iterations
+                    layer_cache = {"k": cache[f"k{i:02d}"],
+                                   "v": cache[f"v{i:02d}"]}
                     x, (extra, nc) = layer(x, mask, collect, deterministic,
                                            attn_backend, mask_format,
                                            x_enc=x_enc, cache=layer_cache,
@@ -316,9 +337,10 @@ class TransformerEncoder(nn.Module):
             elif collect == "probs":
                 out["attn_probs"] = jnp.stack(probs_all, axis=1)
             if cache is not None:
-                out["new_cache"] = {
-                    "k": jnp.stack([c["k"] for c in new_caches]),
-                    "v": jnp.stack([c["v"] for c in new_caches])}
+                out["new_cache"] = {}
+                for i, c in enumerate(new_caches):
+                    out["new_cache"][f"k{i:02d}"] = c["k"]
+                    out["new_cache"][f"v{i:02d}"] = c["v"]
 
         x = LayerNorm(name="final_ln")(x)
         out["hidden_state"] = x

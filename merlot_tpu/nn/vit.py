@@ -142,6 +142,13 @@ class VisionBackbone(nn.Module):
         b, h0, w0, _ = image.shape
         assert h0 % p == 0 and w0 % p == 0, (h0, w0, p)
 
+        if image.dtype == jnp.uint8:
+            # uint8 infeed fast path (loader: device_put_iterator
+            # images_u8): pixels were quantized to 1/255 steps on the host
+            # to halve infeed bytes vs bf16; dequantize in fp32 before the
+            # usual compute-dtype cast (quantization error <= 1/510/pixel,
+            # comparable to the bf16 rounding the default path already has)
+            image = image.astype(jnp.float32) * (1.0 / 255.0)
         img_norm = (image.astype(self.dtype) - jnp.asarray(0.5, self.dtype))
         if len(self.resnet_layers) == 0:
             # plain PxP patchify conv

@@ -134,3 +134,31 @@ def test_masking_determinism_and_rate(rng):
     masked = np.asarray(o1["lang_mask_info"]["masked_ids"])
     assert (masked != orig).any()
     assert ((masked == orig) | (masked == 1) | (masked >= 100)).all()
+
+
+def test_uint8_image_infeed_matches_float(rng):
+    """uint8 infeed fast path (device_put_iterator images_u8): the backbone
+    dequantizes x/255 on device; outputs must match the float path fed the
+    SAME quantized values exactly (the only difference is where /255 runs),
+    and be close to unquantized floats."""
+    from merlot_tpu.nn.transformer import TransformerHParams
+    from merlot_tpu.nn.vit import VisionBackbone
+
+    hp = TransformerHParams(hidden_size=32, num_heads=2, num_layers=2,
+                            intermediate_size=64, dtype=jnp.float32)
+    vb = VisionBackbone(patch_size=16, hidden_size=32, num_cls_emb=2,
+                        resnet_layers=(), spatial_pool_size=2,
+                        vit_hp=hp, dtype=jnp.float32)
+    imgs = rng.uniform(0, 1, (2, 32, 64, 3))
+    u8 = np.clip(np.round(imgs * 255.0), 0, 255).astype(np.uint8)
+
+    v = jax.jit(lambda x: vb.init(jax.random.PRNGKey(0), x))(
+        jnp.asarray(imgs, jnp.float32))
+    run = jax.jit(lambda v, x: vb.apply(v, x)["seq"])
+    out_u8 = run(v, jnp.asarray(u8))
+    out_fq = run(v, jnp.asarray(u8.astype(np.float32) / 255.0))
+    out_f = run(v, jnp.asarray(imgs, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_fq),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f),
+                               rtol=0.05, atol=0.05)

@@ -62,9 +62,7 @@ def test_encoder_cache_decode_matches_full(rng):
     v = enc.init(jax.random.PRNGKey(0), x, causal)
     full = enc.apply(v, x, causal)["hidden_state"]
 
-    d = 32 // 2
-    cache = {"k": jnp.zeros((2, b, max_len, 2, d)),
-             "v": jnp.zeros((2, b, max_len, 2, d))}
+    cache = enc.init_cache(b, max_len)
     outs = []
     for t in range(s):
         step_mask = (jnp.arange(max_len)[None, None] <= t).astype(jnp.float32)

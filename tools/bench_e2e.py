@@ -106,7 +106,11 @@ def main():
     print(f"device-only : {device_sps:8.1f} seg/s", flush=True)
 
     # ---- overlapped ----------------------------------------------------
-    batches = device_put_iterator(iter(loader))
+    # E2E_INFEED=u8 quantizes images to uint8 for the transfer (1 B/px,
+    # half of bf16; device dequantizes) — the lever when the host->device
+    # link is the bottleneck, as on this box's 10-25 MB/s tunnel
+    infeed = os.environ.get("E2E_INFEED", "bf16")
+    batches = device_put_iterator(iter(loader), images_u8=(infeed == "u8"))
     b0 = next(batches)
     params, opt_state, metrics = step_fn(params, opt_state, b0, key)
     float(np.asarray(jax.device_get(metrics["loss"])))

@@ -62,7 +62,10 @@ def main(argv=None):
 
     batches = device_put_iterator(
         iter(loader), batch_sharding(mesh),
-        images_bf16=config.model.get("use_bfloat16", True))
+        images_bf16=config.model.get("use_bfloat16", True),
+        # data.infeed_u8: 1 B/px transfers, dequantized in the backbone
+        # (<=1/510/px quantization; see device_put_iterator)
+        images_u8=config.data.get("infeed_u8", False))
     first = next(batches)
     params, opt_state = trainer.init_state(
         first, init_checkpoint=config.model.get("init_checkpoint"))

@@ -226,10 +226,15 @@ class PretrainLoader:
         # never oversubscribe the host: the parse work is numpy-CPU-bound,
         # and more pool threads than cores THRASHES (measured on a 1-core
         # host: 181 seg/s at 1 thread vs 12.7 at 4 — GIL + cache churn);
-        # on real TPU hosts (>10 cores) the requested count stands
+        # on real TPU hosts (>10 cores) the requested count stands.
+        # sched_getaffinity = cores actually ALLOTTED to this process
+        # (cgroup/container limits), not the machine total
         import os as _os
-        self.num_threads = max(1, min(num_threads, _os.cpu_count() or
-                                      num_threads))
+        try:
+            avail = len(_os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            avail = _os.cpu_count() or num_threads
+        self.num_threads = max(1, min(num_threads, avail))
         self.shuffle_buffer = shuffle_buffer if is_training else 0
         self.prefetch = prefetch
         self.seed = seed
@@ -358,9 +363,11 @@ def device_put_iterator(it, sharding=None, images_bf16: bool = True,
     rounding the default already applies). Off by default; the lever for
     hosts where the infeed link, not the loader, is the bottleneck.
 
-    threaded runs the device_put on a dedicated thread (depth-2 queue):
-    same double buffering when transfers are async, but also hides
-    transfers that BLOCK, like the axon tunnel's synchronous upload."""
+    threaded runs the device_put on a dedicated thread (depth-1 queue, so
+    live device batches match the prev/nxt double buffer): same double
+    buffering when transfers are async, but also hides transfers that
+    BLOCK, like the axon tunnel's synchronous upload. Worker errors
+    re-raise in the consumer."""
     import jax
     import jax.numpy as jnp
 
@@ -381,42 +388,43 @@ def device_put_iterator(it, sharding=None, images_bf16: bool = True,
     if threaded:
         # run device_put on a dedicated thread so a transfer that BLOCKS
         # (e.g. the axon tunnel's synchronous upload) overlaps the device
-        # step instead of serializing with it; depth-2 queue = the same
-        # double buffering
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        # step instead of serializing with it. maxsize=1: at most one batch
+        # queued + one in flight in the worker + one held by the consumer,
+        # matching the prev/nxt double buffer's device-memory profile.
+        q: "queue.Queue" = queue.Queue(maxsize=1)
         stop = threading.Event()
+
+        def send(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in it:
-                    arr = put(prep(batch))
-                    while not stop.is_set():
-                        try:
-                            q.put(arr, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not send(("batch", put(prep(batch)))):
                         return
-            finally:
-                while not stop.is_set():
-                    try:
-                        q.put(None, timeout=0.2)
-                        return
-                    except queue.Full:
-                        continue
+                send(("end", None))
+            except BaseException as e:  # propagate into the consumer —
+                send(("error", e))      # a swallowed loader/transfer error
+                                        # would silently truncate training
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             while True:
-                arr = q.get()
-                if arr is None:
+                kind, payload = q.get()
+                if kind == "error":
+                    raise payload
+                if kind == "end":
                     return
-                yield arr
+                yield payload
         finally:
             stop.set()
-        return
 
     prev = None
     for batch in it:

@@ -200,11 +200,14 @@ class TransformerEncoder(nn.Module):
     hp: TransformerHParams
 
     def init_cache(self, batch_size: int, max_len: int,
-                   dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+                   dtype=None) -> Dict[str, jnp.ndarray]:
         """Preallocated per-layer KV buffers {'k00','v00',...}
         [B, max_len, heads, d] — flat entries alias in place across decode
-        steps (a stacked [L, ...] pair pays slice+stack copies per step)."""
+        steps (a stacked [L, ...] pair pays slice+stack copies per step).
+        dtype defaults to hp.dtype so a bf16 encoder gets a bf16 cache."""
         hp = self.hp
+        if dtype is None:
+            dtype = hp.dtype
         shape = (batch_size, max_len, hp.num_heads,
                  hp.hidden_size // hp.num_heads)
         out: Dict[str, jnp.ndarray] = {}

@@ -25,6 +25,7 @@ long sequences; the XLA path is used for short sequences where fusion wins.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -97,15 +98,14 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           softmax_fp32=softmax_fp32, mask_format=mask_format)
 
 
-import os
-
-# Layout for the XLA attention einsums:
+# Layout for the XLA attention einsums (read once at import, like the
+# BENCH_* knobs):
 #   natural — q/k/v stay [B, S, H, D]; XLA picks operand layouts per einsum
 #             (profiling shows it inserts ~2 ms/layer of [B,S,H,D]->[B,H,S,D]
 #             copies in the BACKWARD of each einsum at ViT shapes)
 #   bhsd    — transpose q/k/v ONCE to [B, H, S, D] and run every einsum in
 #             batched-matmul form; 4 explicit transposes replace the many
-#             XLA-inserted ones
+#             XLA-inserted ones (measured a wash end-to-end on v5e, PERF.md)
 _BHSD = os.environ.get("MERLOT_XLA_ATTN_BHSD", "0") == "1"
 
 

@@ -198,3 +198,32 @@ def test_native_jpeg_decode_matches_pil():
 
     via_api = image_ops.decode_jpeg(data)
     np.testing.assert_allclose(via_api, pil.astype(np.float32) / 255.0)
+
+
+def test_threaded_device_put_iterator_propagates_errors():
+    """A loader/transfer error in the worker thread must re-raise in the
+    consumer (a swallowed error would silently truncate training)."""
+    import pytest
+    from merlot_tpu.data.pretrain_loader import device_put_iterator
+
+    def src():
+        yield {"x": np.ones((2, 2), np.float32)}
+        raise RuntimeError("boom")
+
+    it = device_put_iterator(src(), threaded=True)
+    first = next(it)
+    assert np.asarray(first["x"]).shape == (2, 2)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_threaded_device_put_iterator_end_of_stream():
+    from merlot_tpu.data.pretrain_loader import device_put_iterator
+
+    def src():
+        for i in range(3):
+            yield {"x": np.full((2,), i, np.float32)}
+
+    got = [float(np.asarray(b["x"])[0])
+           for b in device_put_iterator(src(), threaded=True)]
+    assert got == [0.0, 1.0, 2.0]

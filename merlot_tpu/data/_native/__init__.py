@@ -24,5 +24,14 @@ if _needs_build():
     from merlot_tpu.data._native.build import build as _build
     _build(verbose=False)
 
-from merlot_tpu.data._native._merlot_native import (  # noqa: F401, E402
-    crc32c, masked_crc, read_record_spans, scan_example)
+try:
+    from merlot_tpu.data._native._merlot_native import (  # noqa: F401
+        crc32c, masked_crc, read_record_spans, scan_example)
+except ImportError:
+    # a stale .so can satisfy the mtime check yet fail to import (Python
+    # ABI change leaves an old cpython-tagged .so newer than native.cc) —
+    # rebuild once and retry before giving up to the pure-python fallback
+    from merlot_tpu.data._native.build import build as _build2
+    _build2(verbose=False)
+    from merlot_tpu.data._native._merlot_native import (  # noqa: F401, E402
+        crc32c, masked_crc, read_record_spans, scan_example)

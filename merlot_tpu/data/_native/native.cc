@@ -279,9 +279,12 @@ static PyObject *py_decode_jpeg(PyObject *self, PyObject *args) {
 
   struct jpeg_decompress_struct cinfo;
   merlot_jpeg_err jerr;
-  unsigned char *out = NULL;
-  unsigned int h = 0, w = 0;
-  int ok = 0;
+  // volatile: modified between setjmp and the longjmp from error_exit and
+  // read after it — non-volatile locals are indeterminate then (C11
+  // 7.13.2.1; libjpeg's example.c does the same)
+  unsigned char *volatile out = NULL;
+  volatile unsigned int h = 0, w = 0;
+  volatile int ok = 0;
 
   Py_BEGIN_ALLOW_THREADS
   cinfo.err = jpeg_std_error(&jerr.pub);

@@ -202,6 +202,14 @@ def collate_pretrain_batch(examples: List[Dict[str, np.ndarray]],
 # ----------------------------------------------------------------------
 # the async loader
 # ----------------------------------------------------------------------
+class _ProducerError:
+    """Exception carrier across the producer queue (re-raised in the
+    consumer so loader errors cannot masquerade as end-of-stream)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PretrainLoader:
     """Threaded tfrecord -> batch pipeline with a bounded prefetch queue.
 
@@ -331,8 +339,12 @@ class PretrainLoader:
                     ready = ready[self.batch_size:]
                     guarded_put(batch)
                 pool.shutdown(wait=False)
-            finally:
                 guarded_put(None)
+            except BaseException as e:
+                # re-raise in the consumer — a swallowed parse/collate
+                # error would read as a clean end-of-stream and silently
+                # truncate training
+                guarded_put(_ProducerError(e))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -341,6 +353,8 @@ class PretrainLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, _ProducerError):
+                    raise batch.exc
                 yield batch
         finally:
             stop.set()

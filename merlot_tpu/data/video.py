@@ -31,18 +31,6 @@ def ffmpeg_available() -> bool:
 # ----------------------------------------------------------------------
 # cv2 fallback backend
 # ----------------------------------------------------------------------
-def _cv2_probe_size(video_file: str) -> Tuple[int, int]:
-    import cv2
-    cap = cv2.VideoCapture(video_file)
-    try:
-        if not cap.isOpened():
-            raise RuntimeError(f"cv2 cannot open {video_file}")
-        return (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
-                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
-    finally:
-        cap.release()
-
-
 def _cv2_extract_at_times(video_file: str, times: Sequence[float]
                           ) -> List[Optional[np.ndarray]]:
     """Sequential millisecond-seek reads (one shared decoder; cv2 captures
@@ -67,6 +55,8 @@ def _cv2_extract_fixed_fps(video_file: str, fps: float) -> np.ndarray:
     import cv2
     cap = cv2.VideoCapture(video_file)
     try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cv2 cannot open {video_file}")
         native_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         duration = n / native_fps if native_fps else 0.0
@@ -74,7 +64,14 @@ def _cv2_extract_fixed_fps(video_file: str, fps: float) -> np.ndarray:
         cap.release()
     times = np.arange(0.0, max(duration, 1.0 / max(fps, 1e-6)), 1.0 / fps)
     frames = _cv2_extract_at_times(video_file, list(times))
-    return np.stack([f for f in frames if f is not None])
+    # fail LOUDLY on a dropped frame: silently skipping one would shift
+    # every later frame's index off its timestamp (frame i must stay
+    # t = i/fps for the chunk alignment downstream, like the ffmpeg path)
+    missing = [i for i, f in enumerate(frames) if f is None]
+    if missing:
+        raise RuntimeError(
+            f"cv2 failed to decode frames {missing[:5]}... of {video_file}")
+    return np.stack(frames)
 
 
 def detect_black_bars(frames: np.ndarray, blackbar_threshold: int = 16,

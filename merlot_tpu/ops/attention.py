@@ -87,7 +87,8 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if backend == "pallas" and fusable:
         from merlot_tpu.ops.pallas_attention import (flash_attention,
                                                      kernel_supported)
-        if kernel_supported(q.shape[1], k.shape[1], q.shape[-1]):
+        if kernel_supported(q.shape[1], k.shape[1], q.shape[-1],
+                            num_heads=q.shape[2], has_mask=mask is not None):
             assert mask_format == "multiplicative"
             return flash_attention(q, k, v, mask, collect=collect,
                                    softmax_fp32=softmax_fp32)

@@ -136,20 +136,31 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_FWD_VMEM_BUDGET = 11 << 20
+
+
+def _fwd_vmem_est(q_blk: int, sk: int, hd: int, num_heads: int,
+                  in_bytes: int, has_mask: bool, emit_probs: bool,
+                  probs_bytes: int) -> int:
+    """Forward-kernel VMEM footprint for one q-block (Mosaic
+    double-buffers every in/out block across grid steps)."""
+    blocks = (q_blk * hd * in_bytes          # q in
+              + 2 * sk * hd * in_bytes       # k + v in
+              + q_blk * hd * in_bytes        # o out
+              + (q_blk * sk * 4 if has_mask else 0)
+              + (q_blk * num_heads * sk * probs_bytes
+                 if emit_probs else 0))
+    interm = 2 * q_blk * sk * 4              # scores/probs fp32
+    return 2 * blocks + interm
+
+
 def _fwd_q_block(sq: int, sk: int, hd: int, num_heads: int, in_bytes: int,
                  has_mask: bool, emit_probs: bool, probs_bytes: int,
-                 budget: int = 11 << 20) -> int:
-    """Largest forward q block whose VMEM footprint fits (Mosaic
-    double-buffers every in/out block across grid steps)."""
+                 budget: int = _FWD_VMEM_BUDGET) -> int:
+    """Largest forward q block whose VMEM footprint fits."""
     def est(q_blk: int) -> int:
-        blocks = (q_blk * hd * in_bytes          # q in
-                  + 2 * sk * hd * in_bytes       # k + v in
-                  + q_blk * hd * in_bytes        # o out
-                  + (q_blk * sk * 4 if has_mask else 0)
-                  + (q_blk * num_heads * sk * probs_bytes
-                     if emit_probs else 0))
-        interm = 2 * q_blk * sk * 4              # scores/probs fp32
-        return 2 * blocks + interm
+        return _fwd_vmem_est(q_blk, sk, hd, num_heads, in_bytes, has_mask,
+                             emit_probs, probs_bytes)
 
     if sq <= 512 and est(sq) <= budget:
         return sq
@@ -530,7 +541,22 @@ def flash_attention(q, k, v, mask, *, collect: str = "none",
             colsum if collect == "colsum" else None)
 
 
-def kernel_supported(sq: int, sk: int, d_head: int) -> bool:
+def kernel_supported(sq: int, sk: int, d_head: int,
+                     num_heads: Optional[int] = None,
+                     has_mask: bool = True) -> bool:
     """Shapes the kernel handles with its VMEM budget; callers fall back to
-    XLA otherwise (very long sequences, e.g. Grover decode caches)."""
-    return sq <= MAX_KERNEL_SEQ and sk <= MAX_KERNEL_SEQ and d_head <= 128
+    XLA otherwise (very long sequences, e.g. Grover decode caches).
+
+    With num_heads given, additionally checks that even the smallest
+    q-block's footprint fits the scoped-VMEM budget (the k/v blocks span
+    the FULL key length, so a long-sk call can exceed VMEM at any q-block
+    size — better to fall back than fail at Mosaic compile time)."""
+    if not (sq <= MAX_KERNEL_SEQ and sk <= MAX_KERNEL_SEQ and d_head <= 128):
+        return False
+    if num_heads is not None:
+        hd = num_heads * d_head
+        q_blk = _fwd_q_block(sq, sk, hd, num_heads, 2, has_mask,
+                             emit_probs=False, probs_bytes=4)
+        return _fwd_vmem_est(q_blk, sk, hd, num_heads, 2, has_mask,
+                             False, 4) <= _FWD_VMEM_BUDGET
+    return True

@@ -24,10 +24,18 @@ import os
 import subprocess
 import sys
 
-PORT = 17717
+def _pick_free_port() -> int:
+    """Bind-then-release an ephemeral port for the coordinator — a fixed
+    port collides when two sessions (or a leftover worker from a killed
+    run) share the host."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
-def worker(process_id: int, num_procs: int, workdir: str) -> None:
+def worker(process_id: int, num_procs: int, workdir: str,
+           port: int) -> None:
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -37,7 +45,7 @@ def worker(process_id: int, num_procs: int, workdir: str) -> None:
 
     from merlot_tpu.parallel.mesh import init_multihost
 
-    init_multihost(coordinator_address=f"127.0.0.1:{PORT}",
+    init_multihost(coordinator_address=f"127.0.0.1:{port}",
                    num_processes=num_procs, process_id=process_id)
     assert jax.process_count() == num_procs
     assert len(jax.devices()) == 4 * num_procs, len(jax.devices())
@@ -165,10 +173,12 @@ def main() -> None:
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--workdir", default="/tmp/mp_smoke")
     ap.add_argument("--mode", choices=["multi", "single"], default="multi")
+    ap.add_argument("--port", type=int, default=0,
+                    help="coordinator port (0 = auto-pick a free one)")
     args = ap.parse_args()
 
     if args.process_id is not None:
-        worker(args.process_id, args.num_procs, args.workdir)
+        worker(args.process_id, args.num_procs, args.workdir, args.port)
         return
     if args.mode == "single":
         loss = single_process_reference(args.workdir, args.num_procs)
@@ -182,10 +192,11 @@ def main() -> None:
             os.path.join(args.workdir, f"train-{i:02d}.tfrecord"),
             num_examples=2, num_chunks=2, img_hw=(32, 32), seed=i)
 
+    port = args.port or _pick_free_port()
     procs = [subprocess.Popen(
         [sys.executable, "-m", "merlot_tpu.tools.multiprocess_smoke",
          "--num-procs", str(args.num_procs), "--process-id", str(pid),
-         "--workdir", args.workdir])
+         "--workdir", args.workdir, "--port", str(port)])
         for pid in range(args.num_procs)]
     rcs = [p.wait(timeout=900) for p in procs]
     assert all(rc == 0 for rc in rcs), rcs

@@ -78,6 +78,10 @@ class Trainer:
             start_step = int(jax.device_get(opt_state["step"]))
             step = start_step
             t_start = time.time()
+            # reset the throughput window — stale state from a previous
+            # run() (train -> eval -> resume) would fold the idle wall time
+            # between runs into the first logged perf/steps_per_sec
+            self._tp_step, self._tp_time = start_step, t_start
             for batch in batches:
                 if step >= num_steps:
                     break

@@ -101,16 +101,32 @@ def make_zero_shot_fn(cfg: MerlotConfig, batch_size: int, num_chunks: int,
 
 def run_zero_shot(params, cfg: MerlotConfig, batches: Iterable[Dict[str, Any]],
                   h5_path: str, batch_size: int, num_chunks: int = 5) -> int:
-    """Drive batches through the zero-shot fn, dump per-story h5 groups."""
+    """Drive batches through the zero-shot fn, dump per-story h5 groups.
+
+    Data-parallel over all visible devices when the story batch divides
+    the device count (the reference ran PREDICT on a whole TPU slice);
+    the eval loader pads to a full batch with replica stories, so every
+    batch is whole."""
     import h5py
 
     _, fn, _ = make_zero_shot_fn(cfg, batch_size, num_chunks)
+    put = jnp.asarray
+    ndev = len(jax.devices())
+    if ndev > 1 and batch_size % ndev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from merlot_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=ndev, model=1)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        data_s = NamedSharding(mesh, P("data"))
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), data_s)
     n = 0
     with h5py.File(h5_path, "w") as h5:
         for batch in batches:
             out = jax.device_get(fn(params,
-                                    jnp.asarray(batch["images"]),
-                                    jnp.asarray(batch["sentences"])))
+                                    put(batch["images"]),
+                                    put(batch["sentences"])))
             for i in range(batch_size):
                 sid = str(int(batch["story_id"][i]))
                 if sid in h5:

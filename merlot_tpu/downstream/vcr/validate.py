@@ -28,19 +28,40 @@ from merlot_tpu.train.metrics import MetricsLogger
 def evaluate_checkpoint(model: VCRModel, params, files, config,
                         batch_size: int, mode: str,
                         max_examples: Optional[int] = None,
-                        predictions_path: Optional[str] = None) -> float:
+                        predictions_path: Optional[str] = None,
+                        mesh=None) -> float:
     """Accuracy over the eval set; optionally dump per-example predictions
     + log-probs + annot_ids as jsonl (the reference PREDICT-mode export for
-    leaderboard submissions, downstream/vcr/modeling.py:195-198)."""
+    leaderboard submissions, downstream/vcr/modeling.py:195-198).
+
+    Eval is data-parallel over all visible devices (the reference ran this
+    sidecar on a whole v3-8): batches whose leading dim divides the data
+    axis are sharded across it; ragged tails fall back to replicated
+    execution (same results, no padding logic)."""
     import json
+    if mesh is None and len(jax.devices()) > 1:
+        from merlot_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        data_s = NamedSharding(mesh, P("data"))
+        ndata = mesh.shape["data"]
+
+        def put(x):
+            arr = jnp.asarray(x)
+            return (jax.device_put(arr, data_s)
+                    if arr.shape[0] % ndata == 0 else arr)
+    else:
+        put = jnp.asarray
     eval_fn = jax.jit(lambda p, img, ids: model.apply(
         {"params": p}, img, ids, mode=mode))
     n_correct = 0
     n_total = 0
     pred_f = open(predictions_path, "w") if predictions_path else None
     for batch in vcr_eval_batches(files, config, batch_size, mode=mode):
-        logits = np.asarray(eval_fn(params, jnp.asarray(batch["images"]),
-                                    jnp.asarray(batch["lm_input"])))
+        logits = np.asarray(eval_fn(params, put(batch["images"]),
+                                    put(batch["lm_input"])))
         pred = np.argmax(logits, -1)
         if pred_f is not None:
             logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True))

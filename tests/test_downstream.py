@@ -188,3 +188,28 @@ def test_vcr_draw_grounding():
     segms = [[[(10, 10), (30, 10), (20, 25)]], []]
     out2 = draw_grounding(img, segms, mentions=[0], objects=[], kind="segm")
     assert np.asarray(out2).shape == (60, 80, 3)
+
+
+def test_zero_shot_data_parallel_matches_single_device(tmp_path):
+    """The mesh-sharded eval path (batch divides the 8 virtual devices)
+    must produce the same probs as plain device-0 execution."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from merlot_tpu.parallel.mesh import make_mesh
+
+    cfg = TINY_STORY_CFG
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 5, 32, 64, 3)), jnp.float32)
+    sents = jnp.asarray(rng.integers(100, 1000, (8, 5, 32)), jnp.int32)
+
+    model, fn, init_fn = make_zero_shot_fn(cfg, batch_size=8, num_chunks=5)
+    variables = jax.jit(init_fn)(jax.random.PRNGKey(0), images, sents)
+    plain = jax.device_get(fn(variables, images, sents))
+
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    data_s = NamedSharding(mesh, P("data"))
+    v_rep = jax.device_put(variables, NamedSharding(mesh, P()))
+    sharded = jax.device_get(fn(v_rep, jax.device_put(images, data_s),
+                                jax.device_put(sents, data_s)))
+    for k in plain:
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(plain[k]), rtol=2e-5, atol=2e-5)

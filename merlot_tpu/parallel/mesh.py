@@ -78,6 +78,18 @@ _PARAM_RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
     # becomes a reduce-scatter)
     (r"word_embeddings$", ("model", None)),
     (r"lm_output_bias$", ("model",)),
+    # Grover decoder layers (models/grover.py): flat layerNN/{proj} paths
+    # (no attention/ / mlp/ scoping) — shard heads + MLP hidden the same
+    # way; word_embed on vocab. Used for TP serving of the denoiser.
+    (r"layer\d+/(query|key|value)/kernel$", (None, "model")),
+    (r"layer\d+/(query|key|value)/bias$", ("model",)),
+    (r"layer\d+/out_proj/kernel$", ("model", None)),
+    (r"layer\d+/intermediate/kernel$", (None, "model")),
+    (r"layer\d+/intermediate/bias$", ("model",)),
+    (r"layer\d+/output/kernel$", ("model", None)),
+    # word_embed stays replicated: grover's vocab (50270 = 2*5*11*457) is
+    # not divisible by practical model-axis sizes, and the table is only
+    # ~1/6 of the weights — the 24 layers carry the TP win
 )
 
 

@@ -44,7 +44,7 @@ class Denoiser:
     def __init__(self, config_path: str, ckpt_path: Optional[str] = None,
                  max_len: int = 1537, top_p: float = 0.94,
                  max_ctx: int = 1280, bf16: bool = False,
-                 k_prefilter: int = 1024):
+                 k_prefilter: int = 1024, tp: int = 1):
         import dataclasses
         import jax
         from merlot_tpu.core.tokenizer import get_grover_tokenizer
@@ -75,6 +75,14 @@ class Denoiser:
         if bf16:
             from merlot_tpu.models.grover import cast_params_for_serving
             self.params = cast_params_for_serving(self.params)
+        if tp > 1:
+            # tensor-parallel serving: per-layer matmuls shard over a
+            # model axis (parallel/mesh.py grover rules); GSPMD partitions
+            # the jitted sampler and inserts the ICI collectives
+            from merlot_tpu.parallel.mesh import make_mesh, shard_params
+            mesh = make_mesh(data=1, model=tp,
+                             devices=jax.devices()[:tp])
+            self.params = shard_params(self.params, mesh)
 
     def _sampler(self, prefix_len: int, eos_token: int):
         from merlot_tpu.models.grover import make_seq2seq_sampler
@@ -167,12 +175,14 @@ def main(argv=None):
                     help="bf16-stored weights + KV cache (~2.5x decode)")
     ap.add_argument("--k_prefilter", type=int, default=1024,
                     help="top-p sort prefilter (0 = full-vocab sort)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree over visible devices")
     ap.add_argument("--log", default="denoise_log.jsonl")
     args = ap.parse_args(argv)
 
     denoiser = Denoiser(args.config, args.ckpt, max_len=args.max_len,
                         top_p=args.top_p, bf16=args.bf16,
-                        k_prefilter=args.k_prefilter)
+                        k_prefilter=args.k_prefilter, tp=args.tp)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(denoiser, args.log))
     print(f"READY FOR GENERATION on :{args.port}", flush=True)

@@ -160,6 +160,54 @@ def bench_vcr_eval():
                       "vs_baseline": 1.0}))
 
 
+def bench_grover_decode():
+    """Grover-medium serving decode, aggregate tok/s at batch 8 (bf16
+    weights/cache, prefiltered top-p with small p so RANDOM weights stay on
+    the fast path — the real model is peaked; see
+    tools/bench_grover_decode.py). BENCH_MODE=grover."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from merlot_tpu.models.grover import (GroverConfig, GroverLM,
+                                          cast_params_for_serving,
+                                          make_seq2seq_sampler)
+
+    b = int(os.environ.get("BENCH_GROVER_BATCH", "8"))
+    prefix, gen_lo, gen_hi = 1024, 32, 192
+    cfg = GroverConfig.from_json_file(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs", "grover_medium.json"))
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, use_bfloat16=True)
+    model = GroverLM(cfg)
+    params = cast_params_for_serving(
+        jax.jit(lambda: model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 8), jnp.int32)))())
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.integers(100, 50257, (b, prefix)), np.int32)
+    key = jax.random.PRNGKey(1)
+    times = {}
+    for g in (gen_lo, gen_hi):
+        fn = make_seq2seq_sampler(model, max_len=prefix + g,
+                                  prefix_len=prefix, p_for_topp=0.005,
+                                  eos_token=-1, k_prefilter=1024)
+        toks, _ = fn(params, ctx, key)
+        float(np.asarray(toks[0, -1]))
+        best = float("inf")
+        for r in range(5):
+            t0 = time.time()
+            toks, _ = fn(params, ctx, jax.random.fold_in(key, r))
+            float(np.asarray(toks[0, -1]))
+            best = min(best, time.time() - t0)
+        times[g] = best
+    per_tok = (times[gen_hi] - times[gen_lo]) / (gen_hi - gen_lo)
+    print(json.dumps({"metric": "grover_decode_tokens_per_sec_aggregate",
+                      "value": round(b / per_tok, 1), "unit": "tokens/s/chip",
+                      "vs_baseline": round(b / per_tok / 313.0, 3)}))
+
+
 def main():
     import dataclasses
 
@@ -260,5 +308,7 @@ if __name__ == "__main__":
         bench_zero_shot()
     elif _mode == "vcr":
         bench_vcr_eval()
+    elif _mode == "grover":
+        bench_grover_decode()
     else:
         main()

@@ -140,7 +140,8 @@ class GroverLM(nn.Module):
                  cache: Optional[Dict[str, jnp.ndarray]] = None,
                  position_offset=0,
                  deterministic: bool = True,
-                 return_hidden: bool = False):
+                 return_hidden: bool = False,
+                 compute_logits: bool = True):
         """Forward. Training: cache=None, causal within the sequence.
         Decoding: cache = {'k00','v00','k01',...} per-layer [B, max_len,
         n_h, d] buffers (see ``empty_cache``); the current chunk is written
@@ -196,7 +197,13 @@ class GroverLM(nn.Module):
                 new_cache[f"k{i:02d}"] = ck
                 new_cache[f"v{i:02d}"] = cv
 
-        if c.use_bfloat16:
+        if not compute_logits:
+            # long-prefix prefill computes logits OUTSIDE in position
+            # chunks (lm_logits_for_hidden): the full [B, S, V] fp32 tensor
+            # is 6 GB at batch 32 x 1024 x 50270 and only per-position
+            # target probabilities are ever consumed
+            logits = None
+        elif c.use_bfloat16:
             # bf16 operands, fp32 accumulate — matches the reference's
             # bfloat16-getter semantics (embedding cast to bf16 at use) and
             # keeps XLA from materializing an fp32 copy of the [V, H] table
@@ -332,6 +339,20 @@ def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,
         top_idx, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
+def lm_logits_for_hidden(variables, cfg: GroverConfig,
+                         h: jnp.ndarray) -> jnp.ndarray:
+    """Tied-embedding logits for hidden states — the same math as the
+    in-model head (bf16 operands + fp32 accumulate when cfg.use_bfloat16),
+    exposed so callers can compute long-prefix logits in position chunks
+    instead of materializing the full [B, S, V] tensor."""
+    table = variables["params"]["word_embed"]
+    if cfg.use_bfloat16:
+        return jnp.dot(h, table.astype(h.dtype).T,
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(h.astype(jnp.float32), table.T,
+                   preferred_element_type=jnp.float32)
+
+
 def cast_params_for_serving(variables):
     """Serving fast path: store matrices/embeddings in bf16 on device.
 
@@ -378,14 +399,29 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
         row_valid = jnp.any(initial_context != cfg.pad_token_id, axis=1)
 
         cache = model.empty_cache(b, max_len)
-        # prefill: logits for positions 1..prefix_len
-        logits, cache = model.apply(params, initial_context[:, :prefix_len],
-                                    cache=cache, position_offset=0)
-        # context-token probabilities (prev_probs analogue, for perplexity)
-        lp = jax.nn.softmax(logits[:, :-1], axis=-1)
-        ctx_probs = jnp.take_along_axis(
-            lp, initial_context[:, 1:prefix_len, None], axis=-1)[..., 0]
-        probs = jax.lax.dynamic_update_slice(probs, ctx_probs, (0, 1))
+        # prefill WITHOUT the in-model logits head: [B, prefix, V] fp32 is
+        # 6 GB at batch 32 (and its softmax another 6 GB) while only the
+        # per-position target probability and the last row are consumed —
+        # compute both from the hidden states in position chunks
+        _, cache, h = model.apply(params, initial_context[:, :prefix_len],
+                                  cache=cache, position_offset=0,
+                                  return_hidden=True, compute_logits=False)
+        # context-token probabilities (prev_probs analogue, for perplexity):
+        # exp(logit_target - logsumexp) == softmax(...)[target]
+        tgt = initial_context[:, 1:prefix_len]
+        chunk = 128
+        pieces = []
+        for c0 in range(0, prefix_len - 1, chunk):
+            c1 = min(c0 + chunk, prefix_len - 1)
+            lg = lm_logits_for_hidden(params, cfg, h[:, c0:c1])
+            lse = jax.scipy.special.logsumexp(lg, axis=-1)
+            tp = jnp.take_along_axis(lg, tgt[:, c0:c1, None], axis=-1)[..., 0]
+            pieces.append(jnp.exp(tp - lse))
+        if pieces:
+            ctx_probs = jnp.concatenate(pieces, axis=1)
+            probs = jax.lax.dynamic_update_slice(probs, ctx_probs, (0, 1))
+        logits_last = lm_logits_for_hidden(
+            params, cfg, h[:, prefix_len - 1:prefix_len])[:, 0]
 
         def pick_token(pos, logits_last, k):
             sampled = top_p_sample(k, logits_last, p_for_topp, ignore_ids,
@@ -401,7 +437,7 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
             return tok, pr
 
         key0, key_loop = jax.random.split(key)
-        tok, pr = pick_token(prefix_len, logits[:, -1], key0)
+        tok, pr = pick_token(prefix_len, logits_last, key0)
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None],
                                               (0, prefix_len))
         probs = jax.lax.dynamic_update_slice(probs, pr[:, None],

@@ -104,9 +104,9 @@ def run_zero_shot(params, cfg: MerlotConfig, batches: Iterable[Dict[str, Any]],
     """Drive batches through the zero-shot fn, dump per-story h5 groups.
 
     Data-parallel over all visible devices when the story batch divides
-    the device count (the reference ran PREDICT on a whole TPU slice);
-    the eval loader pads to a full batch with replica stories, so every
-    batch is whole."""
+    the device count (the reference ran PREDICT on a whole TPU slice).
+    story_batches only yields FULL batches — write eval shards with
+    --pad_to_batch_size so no tail stories are dropped."""
     import h5py
 
     _, fn, _ = make_zero_shot_fn(cfg, batch_size, num_chunks)
@@ -120,7 +120,9 @@ def run_zero_shot(params, cfg: MerlotConfig, batches: Iterable[Dict[str, Any]],
         data_s = NamedSharding(mesh, P("data"))
 
         def put(x):
-            return jax.device_put(jnp.asarray(x), data_s)
+            # device_put straight from host memory — staging through
+            # jnp.asarray would land the whole batch on device 0 first
+            return jax.device_put(np.asarray(x), data_s)
     n = 0
     with h5py.File(h5_path, "w") as h5:
         for batch in batches:

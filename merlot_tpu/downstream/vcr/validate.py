@@ -49,9 +49,12 @@ def evaluate_checkpoint(model: VCRModel, params, files, config,
         ndata = mesh.shape["data"]
 
         def put(x):
-            arr = jnp.asarray(x)
+            # device_put straight from host memory (staging via jnp.asarray
+            # would transfer to device 0 first, doubling infeed bytes);
+            # ragged tails replicate
+            arr = np.asarray(x)
             return (jax.device_put(arr, data_s)
-                    if arr.shape[0] % ndata == 0 else arr)
+                    if arr.shape[0] % ndata == 0 else jnp.asarray(arr))
     else:
         put = jnp.asarray
     eval_fn = jax.jit(lambda p, img, ids: model.apply(

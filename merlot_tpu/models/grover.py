@@ -203,16 +203,11 @@ class GroverLM(nn.Module):
             # is 6 GB at batch 32 x 1024 x 50270 and only per-position
             # target probabilities are ever consumed
             logits = None
-        elif c.use_bfloat16:
-            # bf16 operands, fp32 accumulate — matches the reference's
-            # bfloat16-getter semantics (embedding cast to bf16 at use) and
-            # keeps XLA from materializing an fp32 copy of the [V, H] table
-            # inside the decode loop
-            logits = jnp.dot(h, table.astype(h.dtype).T,
-                             preferred_element_type=jnp.float32)
         else:
-            logits = jnp.dot(h.astype(jnp.float32), table.T,
-                             preferred_element_type=jnp.float32)
+            # one shared head implementation — chunked prefill callers
+            # must use EXACTLY this math (see lm_logits_for_hidden)
+            logits = lm_logits_for_hidden(
+                {"params": {"word_embed": table}}, c, h)
         if return_hidden:
             return logits, new_cache, h
         return logits, new_cache
@@ -341,10 +336,12 @@ def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,
 
 def lm_logits_for_hidden(variables, cfg: GroverConfig,
                          h: jnp.ndarray) -> jnp.ndarray:
-    """Tied-embedding logits for hidden states — the same math as the
-    in-model head (bf16 operands + fp32 accumulate when cfg.use_bfloat16),
-    exposed so callers can compute long-prefix logits in position chunks
-    instead of materializing the full [B, S, V] tensor."""
+    """Tied-embedding logits for hidden states — THE in-model head
+    (GroverLM.__call__ delegates here): bf16 operands + fp32 accumulate
+    when cfg.use_bfloat16, matching the reference's bfloat16-getter
+    semantics and keeping XLA from materializing an fp32 table copy inside
+    the decode loop. Exposed so callers can compute long-prefix logits in
+    position chunks instead of materializing the full [B, S, V] tensor."""
     table = variables["params"]["word_embed"]
     if cfg.use_bfloat16:
         return jnp.dot(h, table.astype(h.dtype).T,

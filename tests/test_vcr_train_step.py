@@ -64,3 +64,53 @@ def test_vcr_train_step_and_eval(rng, tmp_path):
     preds = [json.loads(l) for l in open(pred_path)]
     assert len(preds) == 2 and all("log_probs" in p for p in preds)
     assert preds[0]["annot_id"].startswith("val-")
+
+
+def test_vcr_eval_data_sharded_matches_replicated(rng, tmp_path):
+    """The mesh-sharded eval branch (batch divides the 8 virtual devices)
+    must produce the same accuracy and predictions as forcing the
+    replicated fallback (mesh=None keeps plain jit on one device)."""
+    import json
+    from merlot_tpu.downstream.vcr.validate import evaluate_checkpoint
+    from tests.test_downstream import _write_synthetic_vcr_shard
+
+    model = VCRModel(CFG)
+    b = {
+        "images": jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32),
+        "lm_input": jnp.asarray(rng.integers(100, 400, (16, 24)), jnp.int32),
+    }
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        b["images"], b["lm_input"]))(b)
+    params = variables["params"]
+
+    shard = str(tmp_path / "vcr8.tfrecord")
+    _write_synthetic_vcr_shard(shard, n=8, img_hw=(40, 40))
+    cfg = {"image_size": [32, 32], "draw": "segm"}
+
+    outs = {}
+    for name, ndev in (("sharded", len(jax.devices())), ("plain", None)):
+        pred = str(tmp_path / f"preds_{name}.jsonl")
+        if ndev:
+            from merlot_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(data=ndev, model=1)
+            acc = evaluate_checkpoint(model, params, [shard], cfg,
+                                      batch_size=8, mode="answer",
+                                      predictions_path=pred, mesh=mesh)
+        else:
+            # force the single-device path even on the 8-device host
+            real_devices = jax.devices
+            jax.devices = lambda: real_devices()[:1]
+            try:
+                acc = evaluate_checkpoint(model, params, [shard], cfg,
+                                          batch_size=8, mode="answer",
+                                          predictions_path=pred)
+            finally:
+                jax.devices = real_devices
+        outs[name] = (acc, [json.loads(l) for l in open(pred)])
+
+    assert outs["sharded"][0] == outs["plain"][0]
+    for a, b2 in zip(outs["sharded"][1], outs["plain"][1]):
+        assert a["prediction"] == b2["prediction"]
+        np.testing.assert_allclose(a["log_probs"], b2["log_probs"],
+                                   rtol=2e-5, atol=2e-5)

@@ -299,6 +299,7 @@ class PretrainLoader:
             return False
 
         def producer():
+            pool = None
             try:
                 pool = ThreadPoolExecutor(self.num_threads)
                 pending: List = []
@@ -338,13 +339,18 @@ class PretrainLoader:
                         self.is_training)
                     ready = ready[self.batch_size:]
                     guarded_put(batch)
-                pool.shutdown(wait=False)
                 guarded_put(None)
             except BaseException as e:
                 # re-raise in the consumer — a swallowed parse/collate
                 # error would read as a clean end-of-stream and silently
                 # truncate training
                 guarded_put(_ProducerError(e))
+            finally:
+                # shut down on EVERY exit (success, error, stop): without
+                # this, in-flight parse futures keep burning CPU after an
+                # error is handed to a consumer that catches it
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -377,11 +383,11 @@ def device_put_iterator(it, sharding=None, images_bf16: bool = True,
     rounding the default already applies). Off by default; the lever for
     hosts where the infeed link, not the loader, is the bottleneck.
 
-    threaded runs the device_put on a dedicated thread (depth-1 queue, so
-    live device batches match the prev/nxt double buffer): same double
-    buffering when transfers are async, but also hides transfers that
-    BLOCK, like the axon tunnel's synchronous upload. Worker errors
-    re-raise in the consumer."""
+    threaded runs the device_put on a dedicated thread (depth-1 queue;
+    up to 3 device-resident batches at peak — consumer-held + queued +
+    in-flight in the worker, one more than a plain prev/nxt double
+    buffer): hides transfers that BLOCK, like the axon tunnel's
+    synchronous upload. Worker errors re-raise in the consumer."""
     import jax
     import jax.numpy as jnp
 
@@ -403,8 +409,10 @@ def device_put_iterator(it, sharding=None, images_bf16: bool = True,
         # run device_put on a dedicated thread so a transfer that BLOCKS
         # (e.g. the axon tunnel's synchronous upload) overlaps the device
         # step instead of serializing with it. maxsize=1: at most one batch
-        # queued + one in flight in the worker + one held by the consumer,
-        # matching the prev/nxt double buffer's device-memory profile.
+        # queued + one in flight in the worker + one held by the consumer —
+        # up to THREE device-resident batches at peak, one more than a
+        # plain prev/nxt double buffer; the extra buffer is what lets a
+        # blocking transfer overlap the device step.
         q: "queue.Queue" = queue.Queue(maxsize=1)
         stop = threading.Event()
 

@@ -293,7 +293,18 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
     implies every rank beyond k is excluded by the keep rule); when it does
     not fit for ANY row, a ``lax.cond`` falls back to the full sort for the
     whole batch, so the sampled DISTRIBUTION always matches the reference
-    exactly. ``k_prefilter=0`` forces the literal full-sort path."""
+    exactly. ``k_prefilter=0`` forces the literal full-sort path.
+
+    Known cost cliff (deliberate): the fallback decision is BATCH-GLOBAL —
+    one persistently high-entropy row (nucleus wider than k_prefilter)
+    drags the whole batch onto the O(B·V log V) full sort every step. A
+    per-row select would not help: under jit the full sort would then run
+    for all rows unconditionally, which is strictly worse. Real trained
+    Grover models are peaked (nucleus ≪ 1024 tokens); the cliff bites
+    benches with random weights (force small p — see
+    tools/bench_grover_decode.py) and would bite production only if a
+    stream's distribution stayed near-uniform, which indicates a broken
+    model, not a sampler regime to optimize for."""
     if ignore_ids is not None:
         logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
     if p > 0.999999:
@@ -339,9 +350,16 @@ def lm_logits_for_hidden(variables, cfg: GroverConfig,
     """Tied-embedding logits for hidden states — THE in-model head
     (GroverLM.__call__ delegates here): bf16 operands + fp32 accumulate
     when cfg.use_bfloat16, matching the reference's bfloat16-getter
-    semantics and keeping XLA from materializing an fp32 table copy inside
-    the decode loop. Exposed so callers can compute long-prefix logits in
-    position chunks instead of materializing the full [B, S, V] tensor."""
+    semantics (lm/modeling.py:528-533 under the custom getter of
+    utils.py: the fp32 master table is cast to bf16 at use) and keeping
+    XLA from materializing an fp32 table copy inside the decode loop.
+    NOTE: this applies to ALL use_bfloat16=True forwards — training and
+    eval included, not just serving. That IS the reference contract, but
+    it differs from a hypothetical fp32-table head by one bf16 rounding
+    of the table operand; test_grover.py::test_bf16_head_delta quantifies
+    the logits delta. Exposed so callers can compute long-prefix logits
+    in position chunks instead of materializing the full [B, S, V]
+    tensor."""
     table = variables["params"]["word_embed"]
     if cfg.use_bfloat16:
         return jnp.dot(h, table.astype(h.dtype).T,

@@ -88,7 +88,8 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from merlot_tpu.ops.pallas_attention import (flash_attention,
                                                      kernel_supported)
         if kernel_supported(q.shape[1], k.shape[1], q.shape[-1],
-                            num_heads=q.shape[2], has_mask=mask is not None):
+                            num_heads=q.shape[2], has_mask=mask is not None,
+                            itemsize=q.dtype.itemsize):
             assert mask_format == "multiplicative"
             return flash_attention(q, k, v, mask, collect=collect,
                                    softmax_fp32=softmax_fp32)

@@ -543,20 +543,25 @@ def flash_attention(q, k, v, mask, *, collect: str = "none",
 
 def kernel_supported(sq: int, sk: int, d_head: int,
                      num_heads: Optional[int] = None,
-                     has_mask: bool = True) -> bool:
+                     has_mask: bool = True,
+                     itemsize: int = 2) -> bool:
     """Shapes the kernel handles with its VMEM budget; callers fall back to
     XLA otherwise (very long sequences, e.g. Grover decode caches).
 
     With num_heads given, additionally checks that even the smallest
     q-block's footprint fits the scoped-VMEM budget (the k/v blocks span
     the FULL key length, so a long-sk call can exceed VMEM at any q-block
-    size — better to fall back than fail at Mosaic compile time)."""
+    size — better to fall back than fail at Mosaic compile time).
+    ``itemsize`` is the q/k/v element size (2 for bf16, 4 for fp32) — pass
+    ``q.dtype.itemsize``. When the active BWD_MODE emits the probs tensor
+    ('xla_probs'), its output block is included in the estimate too."""
     if not (sq <= MAX_KERNEL_SEQ and sk <= MAX_KERNEL_SEQ and d_head <= 128):
         return False
     if num_heads is not None:
         hd = num_heads * d_head
-        q_blk = _fwd_q_block(sq, sk, hd, num_heads, 2, has_mask,
-                             emit_probs=False, probs_bytes=4)
-        return _fwd_vmem_est(q_blk, sk, hd, num_heads, 2, has_mask,
-                             False, 4) <= _FWD_VMEM_BUDGET
+        emit = BWD_MODE == "xla_probs"
+        q_blk = _fwd_q_block(sq, sk, hd, num_heads, itemsize, has_mask,
+                             emit_probs=emit, probs_bytes=4)
+        return _fwd_vmem_est(q_blk, sk, hd, num_heads, itemsize, has_mask,
+                             emit, 4) <= _FWD_VMEM_BUDGET
     return True

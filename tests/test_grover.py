@@ -48,6 +48,31 @@ def test_forward_and_loss(rng):
     assert float(metrics["trg_loss"]) > float(metrics["ctx_loss"])  # x4 bonus
 
 
+def test_bf16_head_delta(rng):
+    """Quantifies the logits shift from the bf16-operand tied head
+    (lm_logits_for_hidden): for use_bfloat16 configs the embedding table
+    is rounded to bf16 before the matmul — the reference's bfloat16-getter
+    contract — so vs a hypothetical fp32-table head the delta must stay
+    within one bf16 rounding of the operands (advisor round-2 note)."""
+    from merlot_tpu.models.grover import lm_logits_for_hidden
+    table = jnp.asarray(rng.normal(0, 0.02, (503, 32)), jnp.float32)
+    h = jnp.asarray(rng.normal(0, 1.0, (4, 7, 32)), jnp.bfloat16)
+    cfg = GroverConfig(vocab_size=503, hidden_size=32, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=64,
+                       max_position_embeddings=16, use_bfloat16=True)
+    bf16_head = lm_logits_for_hidden({"params": {"word_embed": table}}, cfg, h)
+    fp32_head = jnp.dot(h.astype(jnp.float32), table.T)
+    # one bf16 rounding of the table (rel err <= 2^-8) accumulated over H=32
+    delta = np.abs(np.asarray(bf16_head - fp32_head))
+    scale = np.abs(np.asarray(fp32_head)) + np.sqrt(32) * 0.02
+    assert (delta / scale).max() < 2 ** -7
+    # and the bf16 head must be exactly what serving computes: bf16 table
+    # operand, fp32 accumulate
+    manual = jnp.dot(h, table.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(bf16_head), np.asarray(manual))
+
+
 def test_cached_decode_matches_full_forward(rng):
     """Prefill+single-step cached logits == full uncached forward logits."""
     model = GroverLM(TINY)

@@ -54,6 +54,27 @@ def shard_files(files: Sequence[str], host_id: int = 0, num_hosts: int = 1,
     return files
 
 
+def shuffle_records(stream: Iterator[bytes], buffer_size: int,
+                    rng: np.random.Generator) -> Iterator[bytes]:
+    """Record-level reservoir shuffle buffer (tf.data ``dataset.shuffle``
+    semantics, reference: model/dataloader.py:180-184 and
+    downstream/vcr/dataloader_joint.py:249-251): hold ``buffer_size``
+    records, emit a uniformly chosen one as each new record arrives, flush
+    shuffled at end-of-stream. ``buffer_size`` <= 0 passes through."""
+    if buffer_size <= 0:
+        yield from stream
+        return
+    buf: List[bytes] = []
+    for rec in stream:
+        buf.append(rec)
+        if len(buf) >= buffer_size:
+            j = rng.integers(0, len(buf))
+            buf[j], buf[-1] = buf[-1], buf[j]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
 def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
                            rng: np.random.Generator,
                            is_training: bool = True) -> Dict[str, np.ndarray]:
@@ -269,18 +290,8 @@ class PretrainLoader:
                 return
 
     def _shuffled_records(self, rng) -> Iterator[bytes]:
-        if not self.shuffle_buffer:
-            yield from self._record_stream()
-            return
-        buf: List[bytes] = []
-        for rec in self._record_stream():
-            buf.append(rec)
-            if len(buf) >= self.shuffle_buffer:
-                j = rng.integers(0, len(buf))
-                buf[j], buf[-1] = buf[-1], buf[j]
-                yield buf.pop()
-        rng.shuffle(buf)
-        yield from buf
+        yield from shuffle_records(self._record_stream(),
+                                   self.shuffle_buffer, rng)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed)

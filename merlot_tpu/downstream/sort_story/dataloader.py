@@ -13,7 +13,7 @@ import numpy as np
 
 from merlot_tpu.core.tokenizer import PADDING, START
 from merlot_tpu.data import image_ops
-from merlot_tpu.data.pretrain_loader import shard_files
+from merlot_tpu.data.pretrain_loader import shard_files, shuffle_records
 from merlot_tpu.data.tfrecord import parse_example, read_tfrecords
 
 MAX_NUM_TOKENS = 32
@@ -45,13 +45,27 @@ def parse_story_example(payload: bytes, config: Dict[str, Any]
 
 
 def story_batches(files: Sequence[str], config: Dict[str, Any],
-                  batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
-    """Sequential eval batches (drop_remainder, like the reference's
-    fixed-size TPU eval batches — shards are pre-padded with replicas)."""
+                  batch_size: int, is_training: bool = False,
+                  seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Story batches (drop_remainder, like the reference's fixed-size TPU
+    batches — eval shards are pre-padded with replicas).
+
+    Eval (default) is strictly sequential so permutation scoring sees a
+    stable order. Training shuffles file order and passes records through
+    a record-level shuffle buffer (config ``shuffle_buffer_size``, default
+    64 — reference downstream/sort_story/dataloader.py:160-167)."""
+    rng = np.random.default_rng(seed)
+    sharded = shard_files(files, shuffle=is_training, seed=seed)
+    buffer_size = (config.get("shuffle_buffer_size", 64)
+                   if is_training else 0)
+
+    def records() -> Iterator[bytes]:
+        for f in sharded:
+            yield from read_tfrecords(f)
+
     buf: List[Dict[str, np.ndarray]] = []
-    for f in shard_files(files):
-        for rec in read_tfrecords(f):
-            buf.append(parse_story_example(rec, config))
-            if len(buf) == batch_size:
-                yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
-                buf = []
+    for rec in shuffle_records(records(), buffer_size, rng):
+        buf.append(parse_story_example(rec, config))
+        if len(buf) == batch_size:
+            yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
+            buf = []

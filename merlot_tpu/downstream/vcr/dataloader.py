@@ -20,7 +20,7 @@ import numpy as np
 
 from merlot_tpu.core.tokenizer import END, PADDING, START, get_tokenizer
 from merlot_tpu.data import image_ops
-from merlot_tpu.data.pretrain_loader import shard_files
+from merlot_tpu.data.pretrain_loader import shard_files, shuffle_records
 from merlot_tpu.data.tfrecord import parse_example, read_tfrecords
 
 MAX_NUM_TOKENS = 184
@@ -100,27 +100,40 @@ def vcr_joint_batches(files: Sequence[str], config: Dict[str, Any],
                       batch_size: int, is_training: bool = True,
                       seed: int = 0, repeat: Optional[bool] = None
                       ) -> Iterator[Dict[str, np.ndarray]]:
-    """Training batches, flattened like the reference's _process_example."""
+    """Training batches, flattened like the reference's _process_example.
+
+    In training, raw records pass through a record-level shuffle buffer
+    (config ``shuffle_buffer_size``, default 64 — the reference's
+    dataset.shuffle at dataloader_joint.py:249-251) on top of the epoch
+    file-order shuffle, so examples within a shard arrive in a different
+    order every epoch."""
     rng = np.random.default_rng(seed)
     files = shard_files(files, shuffle=is_training, seed=seed)
     repeat = is_training if repeat is None else repeat
+    buffer_size = config.get("shuffle_buffer_size", 64) if is_training else 0
+
+    def records() -> Iterator[bytes]:
+        for f in files:
+            yield from read_tfrecords(f)
+
     buf: List[Dict[str, np.ndarray]] = []
     while True:
-        for f in files:
-            for rec in read_tfrecords(f):
-                buf.append(parse_vcr_joint(rec, config, rng, is_training))
-                if len(buf) < batch_size:
-                    continue
-                b = {k: np.stack([e[k] for e in buf]) for k in
-                     ("images", "lm_input", "lm_targets")}
-                buf = []
-                bs = batch_size
-                h, w = config["image_size"]
-                yield {
-                    "images": b["images"].reshape(bs * 2, h, w, 3),
-                    "lm_input": b["lm_input"].reshape(bs * 2 * 4, MAX_NUM_TOKENS),
-                    "lm_targets": b["lm_targets"].reshape(bs * 2),
-                }
+        if is_training:          # fresh file order every epoch, like
+            rng.shuffle(files)   # tf.data's reshuffle_each_iteration
+        for rec in shuffle_records(records(), buffer_size, rng):
+            buf.append(parse_vcr_joint(rec, config, rng, is_training))
+            if len(buf) < batch_size:
+                continue
+            b = {k: np.stack([e[k] for e in buf]) for k in
+                 ("images", "lm_input", "lm_targets")}
+            buf = []
+            bs = batch_size
+            h, w = config["image_size"]
+            yield {
+                "images": b["images"].reshape(bs * 2, h, w, 3),
+                "lm_input": b["lm_input"].reshape(bs * 2 * 4, MAX_NUM_TOKENS),
+                "lm_targets": b["lm_targets"].reshape(bs * 2),
+            }
         if not repeat:
             return
 

@@ -25,11 +25,20 @@ from merlot_tpu.train.checkpoint import CheckpointManager
 from merlot_tpu.train.metrics import MetricsLogger
 
 
+def make_eval_fn(model: VCRModel, mode: str):
+    """The jitted single-mode eval closure. Build it ONCE per
+    (model, mode) and pass it to evaluate_checkpoint: jax.jit caches by
+    function identity, so a fresh closure per checkpoint would recompile
+    the full eval program on every polling iteration."""
+    return jax.jit(lambda p, img, ids: model.apply(
+        {"params": p}, img, ids, mode=mode))
+
+
 def evaluate_checkpoint(model: VCRModel, params, files, config,
                         batch_size: int, mode: str,
                         max_examples: Optional[int] = None,
                         predictions_path: Optional[str] = None,
-                        mesh=None) -> float:
+                        mesh=None, eval_fn=None) -> float:
     """Accuracy over the eval set; optionally dump per-example predictions
     + log-probs + annot_ids as jsonl (the reference PREDICT-mode export for
     leaderboard submissions, downstream/vcr/modeling.py:195-198).
@@ -57,8 +66,8 @@ def evaluate_checkpoint(model: VCRModel, params, files, config,
                     if arr.shape[0] % ndata == 0 else jnp.asarray(arr))
     else:
         put = jnp.asarray
-    eval_fn = jax.jit(lambda p, img, ids: model.apply(
-        {"params": p}, img, ids, mode=mode))
+    if eval_fn is None:
+        eval_fn = make_eval_fn(model, mode)
     n_correct = 0
     n_total = 0
     pred_f = open(predictions_path, "w") if predictions_path else None
@@ -99,6 +108,7 @@ def watch_and_validate(config: NeatConfig, poll_seconds: float = 60.0):
     logger = MetricsLogger(os.path.join(config.device["output_dir"], "eval"),
                            name="eval")
     seen = set()
+    eval_fn = make_eval_fn(model, mode)   # reused across every poll
     t0 = time.time()
     while time.time() - t0 < timeout:
         new_steps = [s for s in ckpt.all_steps() if s not in seen]
@@ -111,7 +121,7 @@ def watch_and_validate(config: NeatConfig, poll_seconds: float = 60.0):
                 continue
             acc = evaluate_checkpoint(model, state["params"], files, merged,
                                       config.device.get("val_batch_size", 8),
-                                      mode, max_examples)
+                                      mode, max_examples, eval_fn=eval_fn)
             logger.log(step, {f"{mode}_accuracy": acc})
         if not new_steps:
             time.sleep(poll_seconds)

@@ -42,6 +42,14 @@ class Trainer:
         self.profile_steps = profile_steps
         self.seed = seed
         self.step_fn = make_train_step(model, optimizer)
+        # ONE jitted eval closure for the Trainer's lifetime: jax.jit
+        # caches by function identity, so building the lambda inside
+        # evaluate() would recompile the full eval program on every call —
+        # the ckpt-polling validate sidecar calls evaluate() per
+        # checkpoint. Per-shape specializations still cache inside jit.
+        self.eval_fn = jax.jit(lambda p, b: self.model.apply(
+            {"params": p}, b, deterministic=True,
+            rngs={"masking": jax.random.PRNGKey(0)})[:2])
 
     # ------------------------------------------------------------------
     def init_state(self, example_batch, init_checkpoint: Optional[str] = None):
@@ -139,11 +147,11 @@ class Trainer:
                  log_step: Optional[int] = None) -> Dict[str, float]:
         """Held-out evaluation: mean of every scalar metric over batches
         (the reference EVAL mode's tf.metrics.mean wrapping,
-        model/modeling.py:788-800). Deterministic forward, fixed mask rng."""
-        eval_fn = jax.jit(lambda p, b: self.model.apply(
-            {"params": p}, b, deterministic=True,
-            rngs={"masking": jax.random.PRNGKey(0)})[:2])
-
+        model/modeling.py:788-800). Deterministic forward, fixed mask rng.
+        The jitted closure lives on the Trainer (``self.eval_fn``) so
+        repeated calls — the validate sidecar polls checkpoints in a loop —
+        reuse the compiled program instead of re-jitting every time."""
+        eval_fn = self.eval_fn
         sums: Dict[str, float] = {}
         n = 0
         for i, batch in enumerate(batches):

@@ -160,6 +160,65 @@ def test_vcr_loaders_and_model(tmp_path):
     assert elogits.shape == (2, 4)
 
 
+def test_vcr_record_shuffle(tmp_path):
+    """Record-level shuffle buffer (reference dataloader_joint.py:249-251):
+    training order differs across seeds and across epochs, covers every
+    example exactly once per epoch; eval order is stable and sequential."""
+    from merlot_tpu.downstream.vcr.dataloader import (vcr_eval_batches,
+                                                      vcr_joint_batches)
+    shard = str(tmp_path / "vcr.tfrecord")
+    n = 24
+    _write_synthetic_vcr_shard(shard, n=n)
+    config = {"image_size": [32, 64], "draw": "segm",
+              "shuffle_buffer_size": 8}
+
+    def epoch_order(seed):
+        return [bytes(b["lm_input"][:4].tobytes())
+                for b in vcr_joint_batches([shard], config, batch_size=1,
+                                           is_training=True, seed=seed,
+                                           repeat=False)]
+
+    o0, o1 = epoch_order(0), epoch_order(1)
+    assert len(o0) == n and sorted(o0) == sorted(o1)   # same example set
+    assert o0 != o1                                    # seed changes order
+    assert o0 != sorted(o0)                            # actually shuffled
+
+    # two epochs of ONE training stream: different order, same set
+    it = vcr_joint_batches([shard], config, batch_size=1, is_training=True,
+                           seed=0, repeat=True)
+    e1 = [bytes(next(it)["lm_input"][:4].tobytes()) for _ in range(n)]
+    e2 = [bytes(next(it)["lm_input"][:4].tobytes()) for _ in range(n)]
+    assert sorted(e1) == sorted(e2) and e1 != e2
+
+    # eval: sequential file order, repeatable
+    ev = [bytes(b["lm_input"].tobytes())
+          for b in vcr_eval_batches([shard], config, 1, mode="answer")]
+    ev2 = [bytes(b["lm_input"].tobytes())
+           for b in vcr_eval_batches([shard], config, 1, mode="answer")]
+    assert ev == ev2 and len(ev) == n
+
+
+def test_story_loader_shuffle(tmp_path):
+    """sort_story training path: shuffled per seed; eval path unchanged
+    (sequential — permutation scoring depends on stable order)."""
+    from merlot_tpu.downstream.sort_story.dataloader import story_batches
+    shard = str(tmp_path / "story.tfrecord")
+    write_synthetic_story_shard(shard, num_stories=12, just_one_perm=True,
+                                img_hw=(32, 48), seed=0)
+    config = {"image_size": [32, 48], "num_chunks": 5,
+              "shuffle_buffer_size": 4}
+
+    def order(**kw):
+        return [int(b["story_id"][0])
+                for b in story_batches([shard], config, 1, **kw)]
+
+    ev = order()
+    assert ev == sorted(ev)                     # eval stays sequential
+    t0, t1 = order(is_training=True, seed=0), order(is_training=True, seed=1)
+    assert sorted(t0) == ev and sorted(t1) == ev
+    assert t0 != ev or t1 != ev                 # shuffling happened
+
+
 def test_vcr_tokenizer_grounding():
     from merlot_tpu.downstream.vcr.data_prep import (GENDER_NEUTRAL_NAMES,
                                                      VCRTokenizer)

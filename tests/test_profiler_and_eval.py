@@ -47,3 +47,7 @@ def test_evaluate_metric_means(tmp_path, rng):
     assert means2["loss"] == pytest.approx(
         trainer.evaluate(params, _stream(np.random.default_rng(0), 3),
                          max_batches=3)["loss"])
+    # repeated evaluate() calls reuse ONE compiled program (the validate
+    # sidecar polls in a loop): the jitted closure lives on the Trainer
+    # and its specialization cache holds exactly one entry after 3 calls
+    assert trainer.eval_fn._cache_size() == 1

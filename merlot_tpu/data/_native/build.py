@@ -21,8 +21,10 @@ def build(verbose: bool = True) -> str:
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(here, f"_merlot_native{suffix}")
     include = sysconfig.get_paths()["include"]
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           f"-I{include}", src, "-o", out]
+    # -ffp-contract=off: the resize kernel must be bit-identical to the
+    # numpy bilinear reference; FMA contraction would change the rounding
+    cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+           "-std=c++17", f"-I{include}", src, "-o", out]
     if _have_libjpeg():  # native JPEG decode (optional, like the TF C++ op)
         cmd.insert(cmd.index(src), "-DMERLOT_HAVE_JPEG")
         cmd += ["-ljpeg"]

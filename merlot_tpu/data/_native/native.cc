@@ -331,6 +331,126 @@ static PyObject *py_decode_jpeg(PyObject *self, PyObject *args) {
 }
 #endif  // MERLOT_HAVE_JPEG
 
+// ---------------------------------------------------------------------
+// Fused align-corners bilinear resize + crop + pad (+ uint8 dequant).
+// The reference's resize runs inside TF's C++ ResizeBilinear kernel with
+// align_corners=True (utils/model_utils.py:914-921); the Python fallback
+// (image_ops.resize_bilinear_ac) is the bit-exactness oracle. One pass:
+// source u8 or f32 HxWx3 -> float32 [out_h, out_w, 3] with the resized
+// image cropped at (off_y, off_x) of the virtual [scaled_h, scaled_w]
+// resize and zero-padded to the fixed output. GIL released.
+// ---------------------------------------------------------------------
+static void resize_rows_f32(const float *src, const uint8_t *src8,
+                            long in_h, long in_w, double sy_scale,
+                            double sx_scale, long off_y, long off_x,
+                            long copy_h, long copy_w, long out_w,
+                            float *dst) {
+  // per-column gather indices/weights, matching the numpy oracle:
+  // coords in double, weights cast to f32 AFTER the subtraction
+  long *x0 = (long *)malloc(sizeof(long) * (size_t)copy_w);
+  long *x1 = (long *)malloc(sizeof(long) * (size_t)copy_w);
+  float *wx = (float *)malloc(sizeof(float) * (size_t)copy_w);
+  if (!x0 || !x1 || !wx) {
+    free(x0); free(x1); free(wx);
+    return;  // caller pre-zeroed dst; allocation failure yields zeros
+  }
+  for (long xx = 0; xx < copy_w; xx++) {
+    double sx = (double)(off_x + xx) * sx_scale;
+    long c0 = (long)sx;  // sx >= 0, truncation == floor
+    if (c0 > in_w - 1) c0 = in_w - 1;
+    long c1 = c0 + 1 < in_w ? c0 + 1 : in_w - 1;
+    x0[xx] = c0 * 3;
+    x1[xx] = c1 * 3;
+    wx[xx] = (float)(sx - (double)c0);
+  }
+  for (long yy = 0; yy < copy_h; yy++) {
+    double sy = (double)(off_y + yy) * sy_scale;
+    long y0 = (long)sy;
+    if (y0 > in_h - 1) y0 = in_h - 1;
+    long y1 = y0 + 1 < in_h ? y0 + 1 : in_h - 1;
+    float wy = (float)(sy - (double)y0);
+    float *out_row = dst + (size_t)yy * out_w * 3;
+    if (src8) {
+      // u8 -> [0,1] via a LUT of the exact `(float)v / 255.0f` values
+      // (identical results, no per-pixel division)
+      static float lut[256];
+      static int lut_ready = 0;
+      if (!lut_ready) {
+        for (int i = 0; i < 256; i++) lut[i] = (float)i / 255.0f;
+        lut_ready = 1;
+      }
+      const uint8_t *r0 = src8 + (size_t)y0 * in_w * 3;
+      const uint8_t *r1 = src8 + (size_t)y1 * in_w * 3;
+      for (long xx = 0; xx < copy_w; xx++) {
+        long c0 = x0[xx], c1 = x1[xx];
+        float fx = wx[xx];
+        for (int ch = 0; ch < 3; ch++) {
+          float top = lut[r0[c0 + ch]] * (1.0f - fx) + lut[r0[c1 + ch]] * fx;
+          float bot = lut[r1[c0 + ch]] * (1.0f - fx) + lut[r1[c1 + ch]] * fx;
+          out_row[xx * 3 + ch] = top * (1.0f - wy) + bot * wy;
+        }
+      }
+    } else {
+      const float *r0 = src + (size_t)y0 * in_w * 3;
+      const float *r1 = src + (size_t)y1 * in_w * 3;
+      for (long xx = 0; xx < copy_w; xx++) {
+        long c0 = x0[xx], c1 = x1[xx];
+        float fx = wx[xx];
+        for (int ch = 0; ch < 3; ch++) {
+          float top = r0[c0 + ch] * (1.0f - fx) + r0[c1 + ch] * fx;
+          float bot = r1[c0 + ch] * (1.0f - fx) + r1[c1 + ch] * fx;
+          out_row[xx * 3 + ch] = top * (1.0f - wy) + bot * wy;
+        }
+      }
+    }
+  }
+  free(x0); free(x1); free(wx);
+}
+
+static PyObject *py_resize_bilinear_pad(PyObject *self, PyObject *args) {
+  Py_buffer dst_view, view;
+  long in_h, in_w, is_u8, scaled_h, scaled_w, off_y, off_x, out_h, out_w;
+  if (!PyArg_ParseTuple(args, "w*y*lllllllll", &dst_view, &view, &in_h,
+                        &in_w, &is_u8, &scaled_h, &scaled_w, &off_y, &off_x,
+                        &out_h, &out_w))
+    return NULL;
+  size_t need = (size_t)in_h * in_w * 3 * (is_u8 ? 1 : 4);
+  if (in_h < 1 || in_w < 1 || scaled_h < 1 || scaled_w < 1 || out_h < 1 ||
+      out_w < 1 || off_y < 0 || off_x < 0 || (size_t)view.len != need ||
+      (size_t)dst_view.len != (size_t)out_h * out_w * 3 * 4) {
+    PyBuffer_Release(&dst_view);
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "bad resize arguments");
+    return NULL;
+  }
+  float *dst = (float *)dst_view.buf;
+
+  long copy_h = scaled_h - off_y;
+  if (copy_h > out_h) copy_h = out_h;
+  if (copy_h < 0) copy_h = 0;
+  long copy_w = scaled_w - off_x;
+  if (copy_w > out_w) copy_w = out_w;
+  if (copy_w < 0) copy_w = 0;
+  double sy_scale =
+      scaled_h > 1 ? (double)(in_h - 1) / (double)(scaled_h - 1) : 0.0;
+  double sx_scale =
+      scaled_w > 1 ? (double)(in_w - 1) / (double)(scaled_w - 1) : 0.0;
+
+  Py_BEGIN_ALLOW_THREADS
+  // caller provides a zeroed float32 [out_h, out_w, 3] array (np.zeros —
+  // calloc'd); only the resized crop window is written here
+  if (copy_h > 0 && copy_w > 0)
+    resize_rows_f32(is_u8 ? NULL : (const float *)view.buf,
+                    is_u8 ? (const uint8_t *)view.buf : NULL, in_h, in_w,
+                    sy_scale, sx_scale, off_y, off_x, copy_h, copy_w, out_w,
+                    dst);
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&dst_view);
+  PyBuffer_Release(&view);
+  Py_RETURN_NONE;
+}
+
 static PyMethodDef Methods[] = {
     {"crc32c", py_crc32c, METH_VARARGS, "crc32c (Castagnoli) of bytes"},
     {"masked_crc", py_masked_crc, METH_VARARGS, "TFRecord masked crc32c"},
@@ -338,6 +458,9 @@ static PyMethodDef Methods[] = {
      "tfrecord file -> [(payload_offset, length)] with CRC verification"},
     {"scan_example", py_scan_example, METH_VARARGS,
      "Example payload -> {key: (list_field, inner_off, inner_len)}"},
+    {"resize_bilinear_pad", py_resize_bilinear_pad, METH_VARARGS,
+     "(dst_f32, src, in_h, in_w, is_u8, scaled_h, scaled_w, off_y, off_x, "
+     "out_h, out_w); fused align-corners bilinear + crop into zeroed dst"},
 #ifdef MERLOT_HAVE_JPEG
     {"decode_jpeg", py_decode_jpeg, METH_VARARGS,
      "jpeg bytes -> (h, w, rgb bytes); libjpeg, GIL released"},

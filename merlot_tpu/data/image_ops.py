@@ -36,23 +36,29 @@ try:  # native libjpeg decode (GIL-released; bit-identical to PIL's output)
     from merlot_tpu.data._native import _merlot_native as _native
 
     _native_decode = getattr(_native, "decode_jpeg", None)
+    _native_resize = getattr(_native, "resize_bilinear_pad", None)
 except Exception:  # pragma: no cover - extension optional
     _native_decode = None
+    _native_resize = None
+
+
+def decode_jpeg_u8(data: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 RGB [H, W, 3]. Loaders that feed
+    ``resize_and_pad`` should prefer this over ``decode_jpeg``: the native
+    resize dequantizes u8 inline, skipping a full-image /255 pass."""
+    if _native_decode is not None:
+        try:
+            h, w, rgb = _native_decode(data)
+            return np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        except ValueError:
+            pass  # odd colorspace (e.g. CMYK) -> PIL below
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> float32 RGB in [0, 1] (tf.image.decode_jpeg + convert_image_dtype)."""
-    if _native_decode is not None:
-        try:
-            h, w, rgb = _native_decode(data)
-            return (np.frombuffer(rgb, np.uint8)
-                    .reshape(h, w, 3).astype(np.float32) / 255.0)
-        except ValueError:
-            pass  # odd colorspace (e.g. CMYK) -> PIL below
-    img = Image.open(io.BytesIO(data))
-    img = img.convert("RGB")
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr
+    return decode_jpeg_u8(data).astype(np.float32) / 255.0
 
 
 # ----------------------------------------------------------------------
@@ -149,7 +155,9 @@ def resize_and_pad(image: np.ndarray,
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Aspect-preserving resize + random-scale crop + pad-to-fixed-size.
 
-    Returns (image [dh, dw, 3] float32, image_info [5] float32 =
+    ``image`` may be float32 [0, 1] or uint8 (preferred from
+    ``decode_jpeg_u8``: the native bilinear dequantizes inline). Returns
+    (image [dh, dw, 3] float32, image_info [5] float32 =
     [effective_h, effective_w, 1/scale, orig_h, orig_w]).
     """
     dh, dw = int(desired_output_size[0]), int(desired_output_size[1])
@@ -178,6 +186,26 @@ def resize_and_pad(image: np.ndarray,
         assert rng is not None
         resize_method = RESIZE_METHODS[int(rng.integers(0, len(RESIZE_METHODS)))]
 
+    if (resize_method == "bilinear" and _native_resize is not None
+            and image.ndim == 3 and image.shape[2] == 3
+            and image.dtype in (np.uint8, np.float32)
+            and scaled_h > 1 and scaled_w > 1):
+        # fused native path: bilinear + crop + zero-pad (+ u8 dequant) in
+        # one GIL-released pass, bit-identical to the numpy reference
+        # (tests/test_data_pipeline.py); identity resizes interpolate with
+        # weight 0, which is exact
+        src = np.ascontiguousarray(image)
+        out = np.zeros((dh, dw, 3), dtype=np.float32)
+        _native_resize(out, src, src.shape[0], src.shape[1],
+                       int(src.dtype == np.uint8), scaled_h, scaled_w,
+                       off_y, off_x, dh, dw)
+        image_info = np.array([
+            min(scaled_h, dh), min(scaled_w, dw), 1.0 / image_scale, h, w,
+        ], dtype=np.float32)
+        return out, image_info
+
+    if image.dtype == np.uint8:
+        image = image.astype(np.float32) / 255.0
     resized = resize_ac(image, scaled_h, scaled_w, method=resize_method)
     cropped = resized[off_y:off_y + dh, off_x:off_x + dw]
 

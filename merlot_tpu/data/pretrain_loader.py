@@ -97,7 +97,7 @@ def parse_pretrain_example(payload: bytes, config: Dict[str, Any],
 
     for i in range(num_chunks):
         pre = f"c{i:02d}/"
-        img = image_ops.decode_jpeg(ex[pre + "image/encoded"][0])
+        img = image_ops.decode_jpeg_u8(ex[pre + "image/encoded"][0])
         if is_training:
             img, _ = image_ops.resize_and_pad(
                 img, image_size, rng=rng, do_random_scale=True,

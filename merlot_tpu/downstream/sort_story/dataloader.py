@@ -28,7 +28,7 @@ def parse_story_example(payload: bytes, config: Dict[str, Any]
     images = np.zeros((num_chunks, image_size[0], image_size[1], 3), np.float32)
     sentences = np.full((num_chunks, MAX_NUM_TOKENS), PADDING, np.int32)
     for i in range(num_chunks):
-        img = image_ops.decode_jpeg(ex[f"image/image_{i}_encoded"][0])
+        img = image_ops.decode_jpeg_u8(ex[f"image/image_{i}_encoded"][0])
         img, _ = image_ops.resize_and_pad(img, image_size)
         images[i] = img
         toks = np.asarray(ex[f"sentence/sentence_{i}"], np.int32)[:MAX_NUM_TOKENS - 1]

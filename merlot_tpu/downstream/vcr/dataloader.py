@@ -51,7 +51,7 @@ def _sequence(prompt: List[int], ctx: np.ndarray, choice: np.ndarray
 
 
 def _decode_image(ex, mode: str, draw: str, image_size, rng, is_training):
-    img = image_ops.decode_jpeg(ex[f"{mode}/{draw}/image/encoded"][0])
+    img = image_ops.decode_jpeg_u8(ex[f"{mode}/{draw}/image/encoded"][0])
     if is_training:
         img, _ = image_ops.resize_and_pad(img, image_size, rng=rng,
                                           do_random_scale=True,

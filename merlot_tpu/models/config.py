@@ -80,6 +80,9 @@ class MerlotConfig:
     # fp32 softmax (default, safer) vs compute-dtype softmax (the
     # reference's bf16 behaviour; halves attention HBM traffic)
     attention_softmax_fp32: bool = True
+    # fuse pre-LNs into their consumer matmuls (pallas LN+matmul kernel;
+    # identical math + param tree, off-TPU falls back to unfused)
+    fuse_ln_matmul: bool = False
 
     # checkpoint warm start
     init_checkpoint: Optional[str] = None

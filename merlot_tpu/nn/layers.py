@@ -33,14 +33,21 @@ class DenseTN(nn.Module):
     bias_init: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, raw: bool = False):
+        """raw=True returns the fp32 (kernel, bias) params instead of
+        computing — for callers that fuse this projection into a combined
+        op (ops.pallas_ln_matmul) while keeping the param tree identical."""
         kernel = self.param("kernel", trunc_normal(self.initializer_range),
                             (x.shape[-1], self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
+        bias = None
         if self.use_bias:
             binit = self.bias_init or nn.initializers.zeros
             bias = self.param("bias", binit, (self.features,), jnp.float32)
+        if raw:
+            return kernel, bias
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
@@ -50,10 +57,14 @@ class LayerNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, raw: bool = False):
+        """raw=True returns the fp32 (gamma, beta) params instead of
+        normalizing — for the fused LN+matmul path (same param tree)."""
         dim = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (dim,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (dim,), jnp.float32)
+        if raw:
+            return gamma, beta
         return norms.layer_norm(x, gamma, beta, self.epsilon)
 
 

@@ -37,10 +37,20 @@ from merlot_tpu.ops.attention import attention_core
 def _remat_policy(name: Optional[str]):
     if name is None:
         return None
+    cp = jax.checkpoint_policies
     return {
-        "dots": jax.checkpoint_policies.dots_saveable,
-        "dots_no_batch":
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots": cp.dots_saveable,
+        "dots_no_batch": cp.dots_with_no_batch_dims_saveable,
+        # save the softmax probs (tagged in ops/attention.py) and nothing
+        # else: the backward reuses them like XLA's default autodiff does,
+        # while MLP/gelu/LN recompute — the inverse of 'dots', sized for
+        # making bigger per-chip batches fit (probs bf16 [B,H,S,S] is the
+        # one tensor whose recompute costs two extra matmul passes)
+        "probs": cp.save_only_these_names("attn_probs"),
+        # probs + weight-stationary matmul outputs (cheap, batch-free)
+        "probs_dots": cp.save_from_both_policies(
+            cp.save_only_these_names("attn_probs"),
+            cp.dots_with_no_batch_dims_saveable),
     }[name]
 
 
@@ -70,6 +80,13 @@ class TransformerHParams:
     # fp32 softmax (safer) vs compute-dtype softmax (the reference's bf16
     # behaviour; halves attention HBM traffic)
     softmax_fp32: bool = True
+    # fuse each pre-LN into its consumer matmuls (attn_ln -> q/k/v,
+    # mlp_ln -> intermediate) via the pallas LN+matmul kernel: the
+    # normalized tensor never round-trips HBM (ops/pallas_ln_matmul.py).
+    # Param tree, init and checkpoint layout are unchanged; falls back to
+    # the exact unfused math off-TPU / at unsupported shapes. Skipped
+    # automatically on cross-attention / KV-cache calls.
+    fuse_ln_matmul: bool = False
 
 
 class SelfAttention(nn.Module):
@@ -85,7 +102,12 @@ class SelfAttention(nn.Module):
                  collect: str = "none", deterministic: bool = True,
                  attn_backend: str = "auto", mask_format: str = "multiplicative",
                  x_enc: Optional[jnp.ndarray] = None,
-                 cache: Optional[dict] = None, cache_pos=0):
+                 cache: Optional[dict] = None, cache_pos=0,
+                 ln_params=None):
+        """ln_params: fp32 (gamma, beta) of the pre-attention LN. When
+        given, ``x_norm`` is the RAW residual stream and the LN is fused
+        into the q/k/v projections (ops.pallas_ln_matmul; identical math,
+        z never materialized). Self-attention only."""
         hp = self.hp
         b, s, h = x_norm.shape
         d_head = hp.hidden_size // hp.num_heads
@@ -95,10 +117,28 @@ class SelfAttention(nn.Module):
                         initializer_range=hp.initializer_range, name=name)(src)
             return y.reshape(b, src.shape[1], hp.num_heads, d_head)
 
-        kv_src = x_enc if x_enc is not None else x_norm
-        q = proj("query", x_norm)
-        k = proj("key", kv_src)
-        v = proj("value", kv_src)
+        if ln_params is not None:
+            assert x_enc is None, "fused LN requires self-attention"
+            from merlot_tpu.ops.pallas_ln_matmul import ln_matmul
+            wq, bq = DenseTN(hp.hidden_size, dtype=hp.dtype,
+                             initializer_range=hp.initializer_range,
+                             name="query")(x_norm, raw=True)
+            wk, bk = DenseTN(hp.hidden_size, dtype=hp.dtype,
+                             initializer_range=hp.initializer_range,
+                             name="key")(x_norm, raw=True)
+            wv, bv = DenseTN(hp.hidden_size, dtype=hp.dtype,
+                             initializer_range=hp.initializer_range,
+                             name="value")(x_norm, raw=True)
+            q3, k3, v3 = ln_matmul(x_norm.astype(hp.dtype), *ln_params,
+                                   (wq, wk, wv), (bq, bk, bv))
+            q = q3.reshape(b, s, hp.num_heads, d_head)
+            k = k3.reshape(b, s, hp.num_heads, d_head)
+            v = v3.reshape(b, s, hp.num_heads, d_head)
+        else:
+            kv_src = x_enc if x_enc is not None else x_norm
+            q = proj("query", x_norm)
+            k = proj("key", kv_src)
+            v = proj("value", kv_src)
 
         new_cache = None
         if cache is not None:
@@ -130,10 +170,22 @@ class MlpBlock(nn.Module):
     hp: TransformerHParams
 
     @nn.compact
-    def __call__(self, x_norm: jnp.ndarray, *, deterministic: bool = True):
+    def __call__(self, x_norm: jnp.ndarray, *, deterministic: bool = True,
+                 ln_params=None):
+        """ln_params: fp32 (gamma, beta) of the pre-MLP LN; when given,
+        ``x_norm`` is the raw residual stream and the LN fuses into the
+        intermediate matmul (ops.pallas_ln_matmul)."""
         hp = self.hp
-        h0 = DenseTN(hp.intermediate_size, dtype=hp.dtype,
-                     initializer_range=hp.initializer_range, name="intermediate")(x_norm)
+        inter = DenseTN(hp.intermediate_size, dtype=hp.dtype,
+                        initializer_range=hp.initializer_range,
+                        name="intermediate")
+        if ln_params is not None:
+            from merlot_tpu.ops.pallas_ln_matmul import ln_matmul
+            wi, bi = inter(x_norm, raw=True)
+            (h0,) = ln_matmul(x_norm.astype(hp.dtype), *ln_params,
+                              (wi,), (bi,))
+        else:
+            h0 = inter(x_norm)
         h0 = gelu(h0)
         out = DenseTN(hp.hidden_size, dtype=hp.dtype,
                       initializer_range=hp.initializer_range, name="output")(h0)
@@ -149,14 +201,31 @@ class TransformerLayer(nn.Module):
                  attn_backend: str = "auto", mask_format: str = "multiplicative",
                  x_enc: Optional[jnp.ndarray] = None,
                  cache: Optional[dict] = None, cache_pos=0):
-        attn_out, extra, new_cache = SelfAttention(self.hp, name="attention")(
-            LayerNorm(name="attn_ln")(x), mask, collect=collect,
-            deterministic=deterministic, attn_backend=attn_backend,
-            mask_format=mask_format, x_enc=x_enc, cache=cache,
-            cache_pos=cache_pos)
+        # fused pre-LN path: pass the RAW residual stream + LN params so
+        # the normalize happens inside the projection kernel; the unfused
+        # branch is the reference-literal form. Same params either way.
+        fuse = (self.hp.fuse_ln_matmul and x_enc is None and cache is None)
+        attn_ln = LayerNorm(name="attn_ln")
+        attn = SelfAttention(self.hp, name="attention")
+        if fuse:
+            attn_out, extra, new_cache = attn(
+                x, mask, collect=collect, deterministic=deterministic,
+                attn_backend=attn_backend, mask_format=mask_format,
+                ln_params=attn_ln(x, raw=True))
+        else:
+            attn_out, extra, new_cache = attn(
+                attn_ln(x), mask, collect=collect,
+                deterministic=deterministic, attn_backend=attn_backend,
+                mask_format=mask_format, x_enc=x_enc, cache=cache,
+                cache_pos=cache_pos)
         x = x + attn_out
-        mlp_out = MlpBlock(self.hp, name="mlp")(
-            LayerNorm(name="mlp_ln")(x), deterministic=deterministic)
+        mlp_ln = LayerNorm(name="mlp_ln")
+        mlp = MlpBlock(self.hp, name="mlp")
+        if fuse:
+            mlp_out = mlp(x, deterministic=deterministic,
+                          ln_params=mlp_ln(x, raw=True))
+        else:
+            mlp_out = mlp(mlp_ln(x), deterministic=deterministic)
         x = x + mlp_out
         if cache is not None:
             return x, (extra, new_cache)

@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 MASK_PENALTY = 1e10
 
@@ -141,6 +142,10 @@ def _xla_attention(q, k, v, mask, *, collect, dropout_rate=0.0,
         scores = scores * m - jnp.asarray(MASK_PENALTY, sm_dtype) * (1 - m)
 
     probs = jax.nn.softmax(scores, axis=-1)
+    # named for remat policies: 'probs'/'probs_dots' save THIS tensor so
+    # the backward skips the scores+softmax recompute (nn/transformer.py
+    # _remat_policy); a no-op unless such a policy is active
+    probs = _checkpoint_name(probs, "attn_probs")
 
     extra = None
     if collect == "colsum":

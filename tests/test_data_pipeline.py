@@ -89,6 +89,48 @@ def test_resize_bilinear_matches_torch_align_corners(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_native_resize_pad_pixel_exact(rng):
+    """The fused native resize+crop+pad must be PIXEL-EXACT vs the pure
+    numpy bilinear reference (f32 math, no cv2 fixed-point, no FMA — the
+    build uses -ffp-contract=off), for both f32 and u8 sources, with and
+    without random-scale cropping."""
+    if image_ops._native_resize is None:
+        pytest.skip("native extension unavailable")
+    u8 = rng.integers(0, 256, (75, 131, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    def numpy_ref(img_f32, size, **kw):
+        # force the pure-numpy path: no native, no cv2
+        old_nat, old_cv2 = image_ops._native_resize, image_ops._cv2
+        image_ops._native_resize, image_ops._cv2 = None, None
+        try:
+            return image_ops.resize_and_pad(img_f32, size, **kw)
+        finally:
+            image_ops._native_resize, image_ops._cv2 = old_nat, old_cv2
+
+    # eval path (no crop)
+    for src in (u8, f32):
+        got, info = image_ops.resize_and_pad(src, (64, 96))
+        want, winfo = numpy_ref(f32, (64, 96))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(info, winfo)
+
+    # training path (random scale + crop): identical rng streams
+    kw = dict(do_random_scale=True, random_scale_min=1.1,
+              random_scale_max=1.6, resize_method="bilinear")
+    got, info = image_ops.resize_and_pad(u8, (64, 96),
+                                         rng=np.random.default_rng(7), **kw)
+    want, winfo = numpy_ref(f32, (64, 96),
+                            rng=np.random.default_rng(7), **kw)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(info, winfo)
+
+    # downscale-to-pad path (scaled < desired on one axis)
+    got, _ = image_ops.resize_and_pad(u8, (200, 96))
+    want, _ = numpy_ref(f32, (200, 96))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_resize_and_pad_shapes(rng):
     img = rng.uniform(0, 1, (100, 220, 3)).astype(np.float32)
     out, info = image_ops.resize_and_pad(img, (64, 96))

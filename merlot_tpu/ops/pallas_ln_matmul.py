@@ -51,33 +51,26 @@ def _pick_block(m: int, candidates=(512, 384, 256, 128, 64, 32, 16)
     return None
 
 
-def _vmem_est(blk_m: int, k: int, n_blk: int, in_bytes: int,
-              out_bytes: int) -> int:
-    blocks = (blk_m * k * in_bytes        # x in
-              + k * n_blk * 2            # w in (compute dtype <= 2B... bf16)
-              + 2 * n_blk                # bias
-              + blk_m * n_blk * out_bytes)
-    scratch = blk_m * k * in_bytes        # z scratch (compute dtype)
-    interm = 3 * blk_m * k * 4            # xf / scale / tmp fp32
-    return 2 * blocks + scratch + interm
+def _vmem_est(blk_m: int, k: int, n: int, j: int, itemsize: int) -> int:
+    # streamed blocks (double-buffered by Mosaic) + resident weights
+    streamed = (blk_m * k * itemsize              # x in
+                + j * blk_m * n * itemsize)       # outputs
+    resident = j * k * n * itemsize + j * n * itemsize + 2 * k * 4
+    interm = 3 * blk_m * k * 4                    # xf / scale / z fp32 temps
+    return 2 * streamed + resident + interm
 
 
-def kernel_supported(m: int, k: int, n: int, itemsize: int = 2
-                     ) -> Optional[Tuple[int, int]]:
-    """Returns (blk_m, n_blk) when the kernel handles [m,k]x(k,n), else
-    None (caller falls back to the unfused math)."""
+def kernel_supported(m: int, k: int, n: int, itemsize: int = 2,
+                     j: int = 1) -> Optional[Tuple[int, int]]:
+    """Returns (blk_m, n_blk) when the kernel handles [m,k]x(k,n) for j
+    consumer matmuls, else None (caller falls back to unfused math)."""
     if k > MAX_K or k % 128 != 0 or n % 128 != 0:
         return None
     blk_m = _pick_block(m)
     if blk_m is None:
         return None
     n_blk = _pick_block(n, (1024, 768, 512, 384, 256, 128)) or n
-    if n % n_blk != 0:
-        return None
-    while _vmem_est(blk_m, k, n_blk, itemsize, itemsize) > _VMEM_BUDGET:
-        if n_blk > 256 and n % (n_blk // 2) == 0:
-            n_blk //= 2
-            continue
+    while _vmem_est(blk_m, k, n, j, itemsize) > _VMEM_BUDGET:
         if blk_m > 16:
             blk_m //= 2
             if m % blk_m != 0:
@@ -87,29 +80,29 @@ def kernel_supported(m: int, k: int, n: int, itemsize: int = 2
     return blk_m, n_blk
 
 
-def _ln_mm_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, z_ref, *,
-                  epsilon: float, cdtype):
-    """Grid (M/blk_m, J, N/n_blk); x block [blk_m, K] (same for all j/n);
-    w block [1, K, n_blk]; bias [1, 1, n_blk]; o block [1, blk_m, n_blk];
-    z_ref scratch [blk_m, K] cdtype — the normalized block, computed once
-    per m (at j==0, n==0) and reused by every consumer matmul tile."""
-    j = pl.program_id(1)
-    nb = pl.program_id(2)
+def _ln_mm_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
+                  epsilon: float, cdtype, j_n: int, n: int, n_blk: int):
+    """Grid (M/blk_m,); x block [blk_m, K]; w [J, K, N] whole-array
+    resident (constant index map -> fetched ONCE for the whole sweep);
+    bias [J, 1, N]; o block [J, blk_m, N]. The LN runs once per m-block;
+    the J*N/n_blk consumer matmul tiles read the register/VMEM-resident
+    normalized block."""
+    xf = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + epsilon)
+    scale = rstd * g_ref[0].astype(jnp.float32)[None, :]
+    z = (xf * scale - mean * scale
+         + b_ref[0].astype(jnp.float32)[None, :]).astype(cdtype)
 
-    @pl.when(jnp.logical_and(j == 0, nb == 0))
-    def _():
-        xf = x_ref[...].astype(jnp.float32)
-        mean = jnp.mean(xf, axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + epsilon)
-        scale = rstd * g_ref[0].astype(jnp.float32)[None, :]
-        z_ref[...] = (xf * scale - mean * scale
-                      + b_ref[0].astype(jnp.float32)[None, :]).astype(cdtype)
-
-    y = jax.lax.dot_general(z_ref[...], w_ref[0],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype) + bias_ref[0].astype(o_ref.dtype)
+    for j in range(j_n):
+        for nb in range(n // n_blk):
+            sl = slice(nb * n_blk, (nb + 1) * n_blk)
+            y = jax.lax.dot_general(z, w_ref[j, :, sl],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[j, :, sl] = (y.astype(o_ref.dtype)
+                               + bias_ref[j, :, sl].astype(o_ref.dtype))
 
 
 def _ln_mm_pallas(x2, gamma, beta, ws, bs, *, epsilon: float,
@@ -119,24 +112,23 @@ def _ln_mm_pallas(x2, gamma, beta, ws, bs, *, epsilon: float,
     m, k = x2.shape
     jn, _, n = ws.shape
     cdtype = x2.dtype
-    grid = (m // blk_m, jn, n // n_blk)
+    grid = (m // blk_m,)
 
     return pl.pallas_call(
-        functools.partial(_ln_mm_kernel, epsilon=epsilon, cdtype=cdtype),
+        functools.partial(_ln_mm_kernel, epsilon=epsilon, cdtype=cdtype,
+                          j_n=jn, n=n, n_blk=n_blk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((blk_m, k), lambda mi, ji, ni: (mi, 0)),
-            pl.BlockSpec((1, k), lambda mi, ji, ni: (0, 0)),
-            pl.BlockSpec((1, k), lambda mi, ji, ni: (0, 0)),
-            pl.BlockSpec((1, k, n_blk), lambda mi, ji, ni: (ji, 0, ni)),
-            pl.BlockSpec((1, 1, n_blk), lambda mi, ji, ni: (ji, 0, ni)),
+            pl.BlockSpec((blk_m, k), lambda mi: (mi, 0)),
+            pl.BlockSpec((1, k), lambda mi: (0, 0)),
+            pl.BlockSpec((1, k), lambda mi: (0, 0)),
+            pl.BlockSpec((jn, k, n), lambda mi: (0, 0, 0)),
+            pl.BlockSpec((jn, 1, n), lambda mi: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, blk_m, n_blk),
-                               lambda mi, ji, ni: (ji, mi, ni)),
+        out_specs=pl.BlockSpec((jn, blk_m, n), lambda mi: (0, mi, 0)),
         out_shape=jax.ShapeDtypeStruct((jn, m, n), cdtype),
-        scratch_shapes=[pltpu.VMEM((blk_m, k), cdtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=INTERPRET,
     )(x2, gamma.reshape(1, k), beta.reshape(1, k), ws, bs)
 
@@ -159,7 +151,8 @@ def ln_matmul(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
         m *= d
     same_n = all(w.shape == (k, n) for w in kernels)
     on_tpu = jax.default_backend() == "tpu" or INTERPRET
-    sup = kernel_supported(m, k, n, jnp.dtype(x.dtype).itemsize) \
+    sup = kernel_supported(m, k, n, jnp.dtype(x.dtype).itemsize,
+                           j=len(kernels)) \
         if (on_tpu and same_n) else None
     if sup is None:
         z = norms.layer_norm(x, gamma, beta, epsilon)

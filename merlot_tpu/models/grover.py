@@ -39,7 +39,20 @@ import jax
 import jax.numpy as jnp
 
 from merlot_tpu.nn.layers import DenseTN, LayerNorm
+from merlot_tpu.ops import pallas_attention
 from merlot_tpu.ops.activations import gelu
+
+# Serving attention backend for cached (decode/prefill) forwards:
+#   'auto'   — the fused pallas kernel on TPU when the shape fits its VMEM
+#              budget, else the XLA einsum path
+#   'xla'    — always the einsum path
+#   'pallas' — force the kernel (interpret-mode tests)
+# The kernel replaces the scores/mask/softmax/context chain (4+ XLA
+# fusions per layer per decode step) with one op; math is identical
+# (fp32 scores+softmax, multiply-form mask, same 1/sqrt(d) scale).
+# Training forwards (cache=None) always use XLA: the fused backward
+# cannot compile in this environment (see ops/pallas_attention.BWD_MODE).
+DECODE_ATTN = "auto"
 
 
 @dataclass(frozen=True)
@@ -55,6 +68,10 @@ class GroverConfig:
     initializer_range: float = 0.02
     pad_token_id: int = 0
     use_bfloat16: bool = False
+    # Serving-only: one [H, 3H] qkv projection per layer instead of three
+    # [H, H] matmuls (fewer ops per decode step; same bytes read). Param
+    # trees from standard training convert via ``fuse_qkv_for_serving``.
+    fused_qkv: bool = False
 
     @classmethod
     def from_json_file(cls, path: str) -> "GroverConfig":
@@ -85,14 +102,26 @@ class GroverLayer(nn.Module):
         dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
         b, s, _ = h.shape
 
-        def proj(name, x):
-            y = DenseTN(c.hidden_size, dtype=dtype,
-                        initializer_range=c.initializer_range, name=name)(x)
+        def heads(y):
             return y.reshape(b, s, c.num_attention_heads, c.d_head)
 
-        q = proj("query", h)
-        k = proj("key", h)
-        v = proj("value", h)
+        if c.fused_qkv:
+            qkv = DenseTN(3 * c.hidden_size, dtype=dtype,
+                          initializer_range=c.initializer_range,
+                          name="qkv")(h)
+            hs = c.hidden_size
+            q = heads(qkv[..., :hs])
+            k = heads(qkv[..., hs:2 * hs])
+            v = heads(qkv[..., 2 * hs:])
+        else:
+            def proj(name, x):
+                return heads(DenseTN(c.hidden_size, dtype=dtype,
+                                     initializer_range=c.initializer_range,
+                                     name=name)(x))
+
+            q = proj("query", h)
+            k = proj("key", h)
+            v = proj("value", h)
 
         if cache_k is not None:
             cache_k = jax.lax.dynamic_update_slice(
@@ -103,15 +132,33 @@ class GroverLayer(nn.Module):
         else:
             k_all, v_all = k, v
 
-        scale = 1.0 / (c.d_head ** 0.5)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(q.dtype),
-                            preferred_element_type=jnp.float32) * scale
-        m = mask.astype(jnp.float32)[:, None] if mask.ndim == 3 else mask
-        scores = scores * m - 1e10 * (1.0 - m)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype),
-                         v_all.astype(q.dtype),
-                         preferred_element_type=jnp.float32).astype(q.dtype)
+        use_kernel = (cache_k is not None and DECODE_ATTN != "xla"
+                      and (DECODE_ATTN == "pallas"
+                           or (jax.default_backend() == "tpu"
+                               and pallas_attention.kernel_supported(
+                                   s, k_all.shape[1], c.d_head,
+                                   c.num_attention_heads, True,
+                                   jnp.dtype(q.dtype).itemsize))))
+        if use_kernel:
+            # cached serving forward: one fused kernel for scores + mask +
+            # fp32 softmax + context — same math as the einsum path below
+            # (flash_attention applies the 1/sqrt(d) scale and the
+            # multiply-form mask internally)
+            m3 = jnp.broadcast_to(mask, (b, s, k_all.shape[1]))
+            ctx, _ = pallas_attention.flash_attention(
+                q, k_all.astype(q.dtype), v_all.astype(q.dtype), m3,
+                softmax_fp32=True)
+            ctx = ctx.astype(q.dtype)
+        else:
+            scale = 1.0 / (c.d_head ** 0.5)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * scale
+            m = mask.astype(jnp.float32)[:, None] if mask.ndim == 3 else mask
+            scores = scores * m - 1e10 * (1.0 - m)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype),
+                             v_all.astype(q.dtype),
+                             preferred_element_type=jnp.float32).astype(q.dtype)
 
         attn_out = DenseTN(c.hidden_size, dtype=dtype,
                            initializer_range=c.initializer_range,
@@ -382,6 +429,32 @@ def cast_params_for_serving(variables):
         lambda x: x.astype(jnp.bfloat16)
         if (hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2)
         else x, variables)
+
+
+def fuse_qkv_for_serving(variables):
+    """Rewrite a standard (three-projection) param tree for a
+    ``GroverConfig(fused_qkv=True)`` model: per layer, concatenate the
+    query/key/value kernels into one [H, 3H] 'qkv' projection (biases
+    likewise). Column-concatenation leaves every output element's
+    reduction untouched, so fused logits are bit-identical to the
+    unfused model's; the win is 2 fewer matmul dispatches per layer per
+    decode step. Combine with ``cast_params_for_serving`` (either order)."""
+    import flax.core
+    params = flax.core.unfreeze(variables["params"])
+    for name in list(params):
+        layer = params[name]
+        if not (isinstance(layer, dict) and "query" in layer):
+            continue
+        layer = dict(layer)
+        fused = {}
+        for part in ("kernel", "bias"):
+            fused[part] = jnp.concatenate(
+                [layer[k][part] for k in ("query", "key", "value")], axis=-1)
+        for k in ("query", "key", "value"):
+            del layer[k]
+        layer["qkv"] = fused
+        params[name] = layer
+    return {**variables, "params": params}
 
 
 def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,

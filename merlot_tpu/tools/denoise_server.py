@@ -44,7 +44,8 @@ class Denoiser:
     def __init__(self, config_path: str, ckpt_path: Optional[str] = None,
                  max_len: int = 1537, top_p: float = 0.94,
                  max_ctx: int = 1280, bf16: bool = False,
-                 k_prefilter: int = 1024, tp: int = 1):
+                 k_prefilter: int = 1024, tp: int = 1,
+                 fuse_qkv: bool = True):
         import dataclasses
         import jax
         from merlot_tpu.core.tokenizer import get_grover_tokenizer
@@ -54,6 +55,12 @@ class Denoiser:
         self.cfg = GroverConfig.from_json_file(config_path)
         if bf16:  # serving fast path: bf16 matrices + KV cache (~2.5x decode)
             self.cfg = dataclasses.replace(self.cfg, use_bfloat16=True)
+        # one [H,3H] qkv matmul per layer instead of three (bit-identical
+        # logits; fewer decode-step dispatches). Off under TP: the mesh
+        # rules shard the three projections head-wise individually.
+        self.fuse_qkv = fuse_qkv and tp == 1
+        if self.fuse_qkv:
+            self.cfg = dataclasses.replace(self.cfg, fused_qkv=True)
         self.model = GroverLM(self.cfg)
         self.max_len = max_len
         self.top_p = top_p
@@ -72,6 +79,9 @@ class Denoiser:
             import jax.numpy as jnp
             ids = jnp.zeros((1, 8), jnp.int32)
             self.params = self.model.init(jax.random.PRNGKey(0), ids)
+        if self.fuse_qkv:
+            from merlot_tpu.models.grover import fuse_qkv_for_serving
+            self.params = fuse_qkv_for_serving(self.params)  # no-op if fused
         if bf16:
             from merlot_tpu.models.grover import cast_params_for_serving
             self.params = cast_params_for_serving(self.params)
@@ -177,12 +187,16 @@ def main(argv=None):
                     help="top-p sort prefilter (0 = full-vocab sort)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree over visible devices")
+    ap.add_argument("--no_fuse_qkv", action="store_true",
+                    help="keep the three separate q/k/v projections "
+                         "(fused [H,3H] is bit-identical and default)")
     ap.add_argument("--log", default="denoise_log.jsonl")
     args = ap.parse_args(argv)
 
     denoiser = Denoiser(args.config, args.ckpt, max_len=args.max_len,
                         top_p=args.top_p, bf16=args.bf16,
-                        k_prefilter=args.k_prefilter, tp=args.tp)
+                        k_prefilter=args.k_prefilter, tp=args.tp,
+                        fuse_qkv=not args.no_fuse_qkv)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(denoiser, args.log))
     print(f"READY FOR GENERATION on :{args.port}", flush=True)

@@ -98,6 +98,69 @@ def test_cached_decode_matches_full_forward(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_qkv_parity(rng):
+    """fuse_qkv_for_serving + fused_qkv=True reproduces the unfused
+    logits bit-for-bit (column concat does not change any reduction)."""
+    import dataclasses
+
+    from merlot_tpu.models.grover import fuse_qkv_for_serving
+    model = GroverLM(TINY)
+    ids = jnp.asarray(rng.integers(1, 50257, (2, 9)), jnp.int32)
+    variables = jax.jit(lambda i: model.init(jax.random.PRNGKey(0), i))(ids)
+    ref, _ = jax.jit(lambda v, i: model.apply(v, i))(variables, ids)
+
+    fused_model = GroverLM(dataclasses.replace(TINY, fused_qkv=True))
+    fused_vars = fuse_qkv_for_serving(variables)
+    # the fused tree is exactly what a fused-config init would produce
+    want = jax.eval_shape(
+        lambda: fused_model.init(jax.random.PRNGKey(0), ids))
+    got_paths = jax.tree_util.tree_structure(fused_vars)
+    assert got_paths == jax.tree_util.tree_structure(want)
+    out, _ = jax.jit(lambda v, i: fused_model.apply(v, i))(fused_vars, ids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # and through the cached decode path
+    cache = fused_model.empty_cache(2, 16)
+    pre, cache = jax.jit(lambda v, i, c: fused_model.apply(
+        v, i, cache=c, position_offset=0))(fused_vars, ids[:, :6], cache)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(ref[:, :6]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decode_attn_pallas_matches_xla(rng):
+    """The fused serving-attention kernel (DECODE_ATTN='pallas', interpret
+    mode) matches the einsum path on cached prefill + decode steps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merlot_tpu.models import grover as grover_mod
+    model = GroverLM(TINY)
+    ids = jnp.asarray(rng.integers(1, 50257, (2, 9)), jnp.int32)
+    variables = jax.jit(lambda i: model.init(jax.random.PRNGKey(0), i))(ids)
+
+    def drive():
+        cache = model.empty_cache(2, 16)
+        pre, cache = jax.jit(lambda v, i, c: model.apply(
+            v, i, cache=c, position_offset=0))(variables, ids[:, :6], cache)
+        outs = [pre]
+        step = jax.jit(lambda v, i, c, o: model.apply(v, i, cache=c,
+                                                      position_offset=o))
+        for t in range(6, 9):
+            lt, cache = step(variables, ids[:, t:t + 1], cache, t)
+            outs.append(lt)
+        return [np.asarray(o) for o in outs]
+
+    assert grover_mod.DECODE_ATTN == "auto"
+    ref = drive()                                   # CPU -> einsum path
+    grover_mod.DECODE_ATTN = "pallas"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = drive()
+    finally:
+        grover_mod.DECODE_ATTN = "auto"
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4)
+
+
 def test_top_p_semantics():
     # distribution [0.5, 0.3, 0.15, 0.05]; p=0.6 keeps {0, 1} (cumsum 0.5<0.6
     # keeps rank0; 0.8>0.6 excludes rank1? reference keeps cumulative<p ->

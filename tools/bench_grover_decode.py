@@ -11,6 +11,8 @@ tokens/s for the prefill+decode sampler at several batch sizes and knobs:
   GROVER_BATCHES    comma list, default "1,8"
   GROVER_GEN=N      decode tokens per row (default 192)
   GROVER_PREFIX=N   prefix length (default 1024)
+  GROVER_FUSEQKV=1  one [H,3H] qkv matmul per layer (bit-identical; default 1)
+  GROVER_ATTN=auto  cached-attention backend: auto|xla|pallas (grover.DECODE_ATTN)
   GROVER_TOPP=p     nucleus p (default 0.94). NB with RANDOM weights logits
                     are near-uniform, so the nucleus needs ~p*V tokens: at
                     p=0.94 the prefilter falls back to the full sort every
@@ -39,11 +41,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from merlot_tpu.models import grover as grover_mod
     from merlot_tpu.models.grover import (GroverConfig, GroverLM,
                                           cast_params_for_serving,
                                           make_seq2seq_sampler)
 
     bf16 = os.environ.get("GROVER_BF16", "1") == "1"
+    fuseqkv = os.environ.get("GROVER_FUSEQKV", "1") == "1"
+    grover_mod.DECODE_ATTN = os.environ.get("GROVER_ATTN", "auto")
     kpre = int(os.environ.get("GROVER_KPRE", "1024"))
     batches = [int(b) for b in
                os.environ.get("GROVER_BATCHES", "1,8").split(",")]
@@ -54,11 +59,13 @@ def main():
     cfg = GroverConfig.from_json_file(
         os.path.join(os.path.dirname(__file__), "..", "configs",
                      "grover_medium.json"))
-    cfg = type(cfg)(**{**cfg.__dict__, "use_bfloat16": bf16})
+    cfg = type(cfg)(**{**cfg.__dict__, "use_bfloat16": bf16,
+                       "fused_qkv": fuseqkv})
     model = GroverLM(cfg)
 
     print(f"grover-medium decode bench: bf16={bf16} k_prefilter={kpre} "
-          f"prefix={prefix} gen={gen}", flush=True)
+          f"prefix={prefix} gen={gen} fused_qkv={fuseqkv} "
+          f"attn={grover_mod.DECODE_ATTN}", flush=True)
 
     ids0 = jnp.zeros((1, 8), jnp.int32)
     t0 = time.time()

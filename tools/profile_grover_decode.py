@@ -35,10 +35,14 @@ def main():
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     prefix, max_len = 1024, 1280
 
+    from merlot_tpu.models import grover as grover_mod
+    grover_mod.DECODE_ATTN = os.environ.get("GROVER_ATTN", "auto")
     cfg = GroverConfig.from_json_file(
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "configs", "grover_medium.json"))
-    cfg = dataclasses.replace(cfg, use_bfloat16=True)
+    cfg = dataclasses.replace(
+        cfg, use_bfloat16=True,
+        fused_qkv=os.environ.get("GROVER_FUSEQKV", "1") == "1")
     model = GroverLM(cfg)
     params = cast_params_for_serving(
         jax.jit(lambda: model.init(jax.random.PRNGKey(0),

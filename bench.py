@@ -228,6 +228,9 @@ def main():
     if os.environ.get("BENCH_PALLAS_BWD"):  # 'pallas' | 'xla_recompute'
         import merlot_tpu.ops.pallas_attention as _pa
         _pa.BWD_MODE = os.environ["BENCH_PALLAS_BWD"]
+    if os.environ.get("BENCH_GN"):  # 'auto' | 'xla' | 'pallas'
+        import merlot_tpu.ops.pallas_groupnorm as _pgn
+        _pgn.BACKEND = os.environ["BENCH_GN"]
     # experiment knobs (defaults = shipping config)
     # defaults = the measured-best training config (PERF.md): unrolled,
     # no remat, bf16 softmax, per-chip batch 8

@@ -76,14 +76,13 @@ class BottleneckBlock(nn.Module):
             shortcut = GroupNorm(name="proj_gn")(s)
 
         y = WSConv(self.filters, 1, dtype=self.dtype, name="conv1")(x)
-        y = nn.relu(GroupNorm(name="gn1")(y))
+        y = GroupNorm(name="gn1")(y, relu=True)
         y = WSConv(self.filters, 3, dtype=self.dtype, name="conv2")(y)
-        y = nn.relu(GroupNorm(name="gn2")(y))
+        y = GroupNorm(name="gn2")(y, relu=True)
         if self.strides > 1:
             y = avg_pool_same(y, self.strides, self.strides)
         y = WSConv(4 * self.filters, 1, dtype=self.dtype, name="conv3")(y)
-        y = GroupNorm(name="gn3")(y)
-        return nn.relu(y + shortcut)
+        return GroupNorm(name="gn3")(y, residual=shortcut, relu=True)
 
 
 class LiteResNet(nn.Module):
@@ -100,11 +99,11 @@ class LiteResNet(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.width
         x = WSConv(w // 2, 3, strides=2, dtype=self.dtype, name="stem_conv0")(x)
-        x = nn.relu(GroupNorm(name="stem_gn0")(x))
+        x = GroupNorm(name="stem_gn0")(x, relu=True)
         x = WSConv(w // 2, 3, strides=1, dtype=self.dtype, name="stem_conv1")(x)
-        x = nn.relu(GroupNorm(name="stem_gn1")(x))
+        x = GroupNorm(name="stem_gn1")(x, relu=True)
         x = WSConv(w, 3, strides=1, dtype=self.dtype, name="stem_conv2")(x)
-        x = nn.relu(GroupNorm(name="stem_gn2")(x))
+        x = GroupNorm(name="stem_gn2")(x, relu=True)
         x = avg_pool_same(x, 2, 2)
 
         for i, blocks in enumerate(self.layers):

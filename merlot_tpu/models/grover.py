@@ -72,6 +72,15 @@ class GroverConfig:
     # [H, H] matmuls (fewer ops per decode step; same bytes read). Param
     # trees from standard training convert via ``fuse_qkv_for_serving``.
     fused_qkv: bool = False
+    # Serving-only: store each layer's KV cache as ONE [B, max_len, 2H]
+    # buffer (keys in columns [:H], values in [H:]) instead of two
+    # [B, max_len, n_h, d] buffers. With fused_qkv the new chunk is a
+    # contiguous column slice of the qkv matmul output (one
+    # dynamic_update_slice, zero reshapes/concats per layer per step),
+    # and the cached-attention pallas kernel reads the buffer directly
+    # (flash_attention_stacked) — no k/v split, no layout copy between
+    # the cache write and the kernel. Cache layout only; params unchanged.
+    stacked_kv: bool = False
 
     @classmethod
     def from_json_file(cls, path: str) -> "GroverConfig":
@@ -90,53 +99,69 @@ class GroverLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, mask, kv_write_pos=None, cache_k=None, cache_v=None,
-                 deterministic=True):
+                 cache_kv=None, deterministic=True):
         """One decoder layer.
 
         h [B, S, H]; mask [B or 1, S, K] over the key axis (the preallocated
         cache when decoding, else S). If cache_k/v given ([B, max_len, n_h,
         d]), the new K/V chunk is written at kv_write_pos and attention runs
-        over the whole buffer; returns (h, new_cache_k, new_cache_v).
+        over the whole buffer. cache_kv is the stacked alternative (one
+        [B, max_len, 2H] buffer, keys in [:H], values in [H:] — see
+        GroverConfig.stacked_kv). Returns (h, new_cache_k, new_cache_v,
+        new_cache_kv).
         """
         c = self.cfg
         dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
         b, s, _ = h.shape
+        hs = c.hidden_size
 
         def heads(y):
             return y.reshape(b, s, c.num_attention_heads, c.d_head)
 
         if c.fused_qkv:
-            qkv = DenseTN(3 * c.hidden_size, dtype=dtype,
+            qkv = DenseTN(3 * hs, dtype=dtype,
                           initializer_range=c.initializer_range,
                           name="qkv")(h)
-            hs = c.hidden_size
             q = heads(qkv[..., :hs])
-            k = heads(qkv[..., hs:2 * hs])
-            v = heads(qkv[..., 2 * hs:])
+            # [B, S, 2H] k‖v columns — for the stacked cache this slice is
+            # written verbatim (contiguous, no reshape/concat)
+            kv_flat = qkv[..., hs:]
+            k_flat, v_flat = kv_flat[..., :hs], kv_flat[..., hs:]
         else:
             def proj(name, x):
-                return heads(DenseTN(c.hidden_size, dtype=dtype,
-                                     initializer_range=c.initializer_range,
-                                     name=name)(x))
+                return DenseTN(hs, dtype=dtype,
+                               initializer_range=c.initializer_range,
+                               name=name)(x)
 
-            q = proj("query", h)
-            k = proj("key", h)
-            v = proj("value", h)
+            q = heads(proj("query", h))
+            k_flat = proj("key", h)
+            v_flat = proj("value", h)
+            kv_flat = None
 
-        if cache_k is not None:
+        if cache_kv is not None:
+            if kv_flat is None:
+                kv_flat = jnp.concatenate([k_flat, v_flat], axis=-1)
+            cache_kv = jax.lax.dynamic_update_slice(
+                cache_kv, kv_flat.astype(cache_kv.dtype),
+                (0, kv_write_pos, 0))
+            k_len = cache_kv.shape[1]
+        elif cache_k is not None:
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, kv_write_pos, 0, 0))
+                cache_k, heads(k_flat).astype(cache_k.dtype),
+                (0, kv_write_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, kv_write_pos, 0, 0))
-            k_all, v_all = cache_k, cache_v
+                cache_v, heads(v_flat).astype(cache_v.dtype),
+                (0, kv_write_pos, 0, 0))
+            k_len = cache_k.shape[1]
         else:
-            k_all, v_all = k, v
+            k_len = s
 
-        use_kernel = (cache_k is not None and DECODE_ATTN != "xla"
+        cached = cache_kv is not None or cache_k is not None
+        use_kernel = (cached and DECODE_ATTN != "xla"
                       and (DECODE_ATTN == "pallas"
                            or (jax.default_backend() == "tpu"
                                and pallas_attention.kernel_supported(
-                                   s, k_all.shape[1], c.d_head,
+                                   s, k_len, c.d_head,
                                    c.num_attention_heads, True,
                                    jnp.dtype(q.dtype).itemsize))))
         if use_kernel:
@@ -144,12 +169,27 @@ class GroverLayer(nn.Module):
             # fp32 softmax + context — same math as the einsum path below
             # (flash_attention applies the 1/sqrt(d) scale and the
             # multiply-form mask internally)
-            m3 = jnp.broadcast_to(mask, (b, s, k_all.shape[1]))
-            ctx, _ = pallas_attention.flash_attention(
-                q, k_all.astype(q.dtype), v_all.astype(q.dtype), m3,
-                softmax_fp32=True)
+            m3 = jnp.broadcast_to(mask, (b, s, k_len))
+            if cache_kv is not None:
+                # the kernel operand IS the cache buffer (same dtype by
+                # construction: empty_cache allocates in the model dtype)
+                ctx = pallas_attention.flash_attention_stacked(
+                    q, cache_kv, m3, softmax_fp32=True)
+            else:
+                ctx, _ = pallas_attention.flash_attention(
+                    q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), m3,
+                    softmax_fp32=True)
             ctx = ctx.astype(q.dtype)
         else:
+            if cache_kv is not None:
+                k_all = cache_kv[..., :hs].reshape(
+                    b, k_len, c.num_attention_heads, c.d_head)
+                v_all = cache_kv[..., hs:].reshape(
+                    b, k_len, c.num_attention_heads, c.d_head)
+            elif cache_k is not None:
+                k_all, v_all = cache_k, cache_v
+            else:
+                k_all, v_all = heads(k_flat), heads(v_flat)
             scale = 1.0 / (c.d_head ** 0.5)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(q.dtype),
                                 preferred_element_type=jnp.float32) * scale
@@ -176,7 +216,7 @@ class GroverLayer(nn.Module):
                       name="output")(gelu(mlp))
         mlp = nn.Dropout(c.hidden_dropout_prob)(mlp, deterministic=deterministic)
         out = LayerNorm(name="mlp_ln1")(x + mlp)
-        return out, cache_k, cache_v
+        return out, cache_k, cache_v, cache_kv
 
 
 class GroverLM(nn.Module):
@@ -191,9 +231,10 @@ class GroverLM(nn.Module):
                  compute_logits: bool = True):
         """Forward. Training: cache=None, causal within the sequence.
         Decoding: cache = {'k00','v00','k01',...} per-layer [B, max_len,
-        n_h, d] buffers (see ``empty_cache``); the current chunk is written
-        at position_offset and attention covers cache positions <
-        position_offset + S.
+        n_h, d] buffers — or, with cfg.stacked_kv, {'kv00','kv01',...}
+        [B, max_len, 2H] stacked buffers (see ``empty_cache``); the current
+        chunk is written at position_offset and attention covers cache
+        positions < position_offset + S.
 
         The cache is per-layer dict entries, NOT one stacked [L, ...]
         array: a stacked cache forces a dynamic-slice copy of the layer's
@@ -226,7 +267,7 @@ class GroverLM(nn.Module):
 
         q_pos = position_offset + jnp.arange(s)
         if cache is not None:
-            max_len = cache["k00"].shape[1]
+            max_len = next(iter(cache.values())).shape[1]
             k_pos = jnp.arange(max_len)
             mask = (k_pos[None] <= q_pos[:, None]).astype(jnp.float32)[None]
         else:
@@ -235,14 +276,22 @@ class GroverLM(nn.Module):
 
         new_cache = {} if cache is not None else None
         for i in range(c.num_hidden_layers):
-            ck = cache[f"k{i:02d}"] if cache is not None else None
-            cv = cache[f"v{i:02d}"] if cache is not None else None
-            h, ck, cv = GroverLayer(c, name=f"layer{i:02d}")(
+            if c.stacked_kv:
+                ckv = cache[f"kv{i:02d}"] if cache is not None else None
+                ck = cv = None
+            else:
+                ck = cache[f"k{i:02d}"] if cache is not None else None
+                cv = cache[f"v{i:02d}"] if cache is not None else None
+                ckv = None
+            h, ck, cv, ckv = GroverLayer(c, name=f"layer{i:02d}")(
                 h, mask, kv_write_pos=position_offset, cache_k=ck, cache_v=cv,
-                deterministic=deterministic)
+                cache_kv=ckv, deterministic=deterministic)
             if cache is not None:
-                new_cache[f"k{i:02d}"] = ck
-                new_cache[f"v{i:02d}"] = cv
+                if c.stacked_kv:
+                    new_cache[f"kv{i:02d}"] = ckv
+                else:
+                    new_cache[f"k{i:02d}"] = ck
+                    new_cache[f"v{i:02d}"] = cv
 
         if not compute_logits:
             # long-prefix prefill computes logits OUTSIDE in position
@@ -261,15 +310,21 @@ class GroverLM(nn.Module):
 
     # ------------------------------------------------------------------
     def empty_cache(self, batch_size: int, max_len: int) -> Dict[str, jnp.ndarray]:
-        """Per-layer KV buffers {'k00','v00',...} [B, max_len, n_h, d]
-        (flat entries alias in place across decode steps — see __call__)."""
+        """Per-layer KV buffers: {'k00','v00',...} [B, max_len, n_h, d], or
+        with cfg.stacked_kv {'kv00',...} [B, max_len, 2H] (keys ‖ values).
+        Flat entries alias in place across decode steps — see __call__."""
         c = self.cfg
-        shape = (batch_size, max_len, c.num_attention_heads, c.d_head)
         dtype = jnp.bfloat16 if c.use_bfloat16 else jnp.float32
         out: Dict[str, jnp.ndarray] = {}
-        for i in range(c.num_hidden_layers):
-            out[f"k{i:02d}"] = jnp.zeros(shape, dtype)
-            out[f"v{i:02d}"] = jnp.zeros(shape, dtype)
+        if c.stacked_kv:
+            shape = (batch_size, max_len, 2 * c.hidden_size)
+            for i in range(c.num_hidden_layers):
+                out[f"kv{i:02d}"] = jnp.zeros(shape, dtype)
+        else:
+            shape = (batch_size, max_len, c.num_attention_heads, c.d_head)
+            for i in range(c.num_hidden_layers):
+                out[f"k{i:02d}"] = jnp.zeros(shape, dtype)
+                out[f"v{i:02d}"] = jnp.zeros(shape, dtype)
         return out
 
 

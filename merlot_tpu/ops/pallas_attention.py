@@ -76,11 +76,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref,
     mask_ref [1, q_blk, Sk] f32 (1=attend) or None;
     o_ref  [1, q_blk, H*D]; colsum_ref [1, 8, Sk] f32 or None;
     probs_ref [1, q_blk, H*Sk] sm_dtype or None (saved-probs backward).
+
+    v_ref=None selects the stacked-KV convention (serving KV cache): k_ref
+    is [1, Sk, 2*H*D] with keys in columns [:H*D] and values in
+    [H*D:] — one input block, one HBM buffer, no separate v stream.
     """
     qb = pl.program_id(1)
     qq = q_ref[0]
     kk = k_ref[0]
-    vv = v_ref[0]
+    vv = v_ref[0] if v_ref is not None else kk
+    v_base = 0 if v_ref is not None else num_heads * d_head
     m = mask_ref[0] if mask_ref is not None else None
 
     sm_dtype = jnp.float32 if softmax_fp32 else qq.dtype
@@ -98,8 +103,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, colsum_ref,
             mm = m.astype(sm_dtype)
             scores = scores * mm - jnp.asarray(MASK_PENALTY, sm_dtype) * (1 - mm)
         probs = jax.nn.softmax(scores, axis=-1)
+        vsl = slice(v_base + h * d_head, v_base + (h + 1) * d_head)
         ctx = jax.lax.dot_general(
-            probs.astype(qq.dtype), vv[:, sl], (((1,), (0,)), ((), ())),
+            probs.astype(qq.dtype), vv[:, vsl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         outs.append(ctx.astype(o_ref.dtype))
         if probs_ref is not None:
@@ -539,6 +545,59 @@ def flash_attention(q, k, v, mask, *, collect: str = "none",
                            h, softmax_fp32, collect == "colsum")
     return (ctx.reshape(b, sq, h, d),
             colsum if collect == "colsum" else None)
+
+
+def flash_attention_stacked(q, kv, mask, *,
+                            softmax_fp32: bool = False) -> jnp.ndarray:
+    """Forward-only attention over a STACKED KV buffer (serving decode).
+
+    q [B, Sq, H, D]; kv [B, Sk, 2*H*D] with keys in columns [:H*D] and
+    values in [H*D:] — the layout Grover's serving cache stores (one
+    buffer per layer, one dynamic_update_slice per step, and the pallas
+    operand IS the cache buffer: no layout boundary between the cache
+    update and the kernel, which otherwise costs a full cache copy per
+    layer per decode step). mask [B, Sq, Sk] (1=attend) or None.
+    Returns ctx [B, Sq, H, D]. Same math as flash_attention; not
+    differentiable (decode is forward-only)."""
+    b, sq, h, d = q.shape
+    sk = kv.shape[1]
+    hd = h * d
+    q3 = q.reshape(b, sq, hd)
+    sm_dtype = jnp.float32 if softmax_fp32 else q3.dtype
+
+    q_blk = _fwd_q_block(sq, sk, hd, h, q3.dtype.itemsize,
+                         mask is not None, False, 4)
+    grid = (b, _ceil_div(sq, q_blk))
+
+    in_specs = [
+        pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
+        pl.BlockSpec((1, sk, 2 * hd), lambda bi, qi: (bi, 0, 0)),
+    ]
+    args = [q3, kv]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, q_blk, sk), lambda bi, qi: (bi, qi, 0)))
+        args.append(mask.astype(jnp.float32))
+
+    def kernel(*refs):
+        ins, outs = refs[:len(args)], refs[len(args):]
+        m_ref = ins[2] if mask is not None else None
+        _attn_kernel(ins[0], ins[1], None, m_ref, outs[0], None, None,
+                     num_heads=h, d_head=d, scale=1.0 / (d ** 0.5),
+                     softmax_fp32=softmax_fp32, collect_colsum=False,
+                     sq=sq, q_blk=q_blk)
+
+    ctx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(*args)
+    del sm_dtype
+    return ctx.reshape(b, sq, h, d)
 
 
 def kernel_supported(sq: int, sk: int, d_head: int,

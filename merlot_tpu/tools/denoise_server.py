@@ -60,7 +60,12 @@ class Denoiser:
         # rules shard the three projections head-wise individually.
         self.fuse_qkv = fuse_qkv and tp == 1
         if self.fuse_qkv:
-            self.cfg = dataclasses.replace(self.cfg, fused_qkv=True)
+            # stacked_kv rides along: one [B,L,2H] cache buffer per layer,
+            # written as a contiguous slice of the fused qkv output and
+            # read directly by the cached-attention kernel (cache layout
+            # only — no param change). Off under TP with fused_qkv.
+            self.cfg = dataclasses.replace(self.cfg, fused_qkv=True,
+                                           stacked_kv=True)
         self.model = GroverLM(self.cfg)
         self.max_len = max_len
         self.top_p = top_p

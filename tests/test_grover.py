@@ -161,6 +161,57 @@ def test_decode_attn_pallas_matches_xla(rng):
         np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4)
 
 
+def test_stacked_kv_matches_flat(rng):
+    """cfg.stacked_kv (one [B,L,2H] cache buffer per layer) is a cache
+    LAYOUT change only: prefill + decode logits match the flat k/v cache
+    on the einsum path, with and without fused_qkv, and on the pallas
+    kernel path (interpret mode)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from merlot_tpu.models import grover as grover_mod
+    from merlot_tpu.models.grover import fuse_qkv_for_serving
+
+    model = GroverLM(TINY)
+    ids = jnp.asarray(rng.integers(1, 50257, (2, 9)), jnp.int32)
+    variables = jax.jit(lambda i: model.init(jax.random.PRNGKey(0), i))(ids)
+
+    def drive(m, v):
+        cache = m.empty_cache(2, 16)
+        pre, cache = jax.jit(lambda vv, i, c: m.apply(
+            vv, i, cache=c, position_offset=0))(v, ids[:, :6], cache)
+        outs = [pre]
+        step = jax.jit(lambda vv, i, c, o: m.apply(vv, i, cache=c,
+                                                   position_offset=o))
+        for t in range(6, 9):
+            lt, cache = step(v, ids[:, t:t + 1], cache, t)
+            outs.append(lt)
+        return [np.asarray(o) for o in outs]
+
+    ref = drive(model, variables)                   # flat cache, einsum
+
+    stacked = GroverLM(dataclasses.replace(TINY, stacked_kv=True))
+    for r, g in zip(ref, drive(stacked, variables)):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5)
+
+    both = GroverLM(dataclasses.replace(TINY, stacked_kv=True,
+                                        fused_qkv=True))
+    fused_vars = fuse_qkv_for_serving(variables)
+    for r, g in zip(ref, drive(both, fused_vars)):
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5)
+
+    # pallas cached-attention kernel reads the stacked buffer directly
+    grover_mod.DECODE_ATTN = "pallas"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = drive(both, fused_vars)
+    finally:
+        grover_mod.DECODE_ATTN = "auto"
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4)
+
+
 def test_top_p_semantics():
     # distribution [0.5, 0.3, 0.15, 0.05]; p=0.6 keeps {0, 1} (cumsum 0.5<0.6
     # keeps rank0; 0.8>0.6 excludes rank1? reference keeps cumulative<p ->

@@ -12,6 +12,8 @@ tokens/s for the prefill+decode sampler at several batch sizes and knobs:
   GROVER_GEN=N      decode tokens per row (default 192)
   GROVER_PREFIX=N   prefix length (default 1024)
   GROVER_FUSEQKV=1  one [H,3H] qkv matmul per layer (bit-identical; default 1)
+  GROVER_STACKKV=1  one stacked [B,L,2H] KV buffer per layer (one cache write
+                    per step, kernel reads it directly; default 1)
   GROVER_ATTN=auto  cached-attention backend: auto|xla|pallas (grover.DECODE_ATTN)
   GROVER_TOPP=p     nucleus p (default 0.94). NB with RANDOM weights logits
                     are near-uniform, so the nucleus needs ~p*V tokens: at
@@ -48,6 +50,7 @@ def main():
 
     bf16 = os.environ.get("GROVER_BF16", "1") == "1"
     fuseqkv = os.environ.get("GROVER_FUSEQKV", "1") == "1"
+    stackkv = os.environ.get("GROVER_STACKKV", "1") == "1"
     grover_mod.DECODE_ATTN = os.environ.get("GROVER_ATTN", "auto")
     kpre = int(os.environ.get("GROVER_KPRE", "1024"))
     batches = [int(b) for b in
@@ -60,12 +63,12 @@ def main():
         os.path.join(os.path.dirname(__file__), "..", "configs",
                      "grover_medium.json"))
     cfg = type(cfg)(**{**cfg.__dict__, "use_bfloat16": bf16,
-                       "fused_qkv": fuseqkv})
+                       "fused_qkv": fuseqkv, "stacked_kv": stackkv})
     model = GroverLM(cfg)
 
     print(f"grover-medium decode bench: bf16={bf16} k_prefilter={kpre} "
           f"prefix={prefix} gen={gen} fused_qkv={fuseqkv} "
-          f"attn={grover_mod.DECODE_ATTN}", flush=True)
+          f"stacked_kv={stackkv} attn={grover_mod.DECODE_ATTN}", flush=True)
 
     ids0 = jnp.zeros((1, 8), jnp.int32)
     t0 = time.time()

@@ -42,7 +42,8 @@ def main():
             os.path.abspath(__file__))), "configs", "grover_medium.json"))
     cfg = dataclasses.replace(
         cfg, use_bfloat16=True,
-        fused_qkv=os.environ.get("GROVER_FUSEQKV", "1") == "1")
+        fused_qkv=os.environ.get("GROVER_FUSEQKV", "1") == "1",
+        stacked_kv=os.environ.get("GROVER_STACKKV", "1") == "1")
     model = GroverLM(cfg)
     params = cast_params_for_serving(
         jax.jit(lambda: model.init(jax.random.PRNGKey(0),

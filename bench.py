@@ -225,12 +225,7 @@ def main():
     log(f"device: {dev}")
 
     cfg = _flagship_config()
-    if os.environ.get("BENCH_PALLAS_BWD"):  # 'pallas' | 'xla_recompute'
-        import merlot_tpu.ops.pallas_attention as _pa
-        _pa.BWD_MODE = os.environ["BENCH_PALLAS_BWD"]
-    if os.environ.get("BENCH_GN"):  # 'auto' | 'xla' | 'pallas'
-        import merlot_tpu.ops.pallas_groupnorm as _pgn
-        _pgn.BACKEND = os.environ["BENCH_GN"]
+    _apply_backend_knobs()
     # experiment knobs (defaults = shipping config)
     # defaults = the measured-best training config (PERF.md): unrolled,
     # no remat, bf16 softmax, per-chip batch 8
@@ -304,7 +299,20 @@ def main():
                       "vs_baseline": round(vs, 3)}))
 
 
+def _apply_backend_knobs():
+    """Backend knobs apply to EVERY bench mode (the training main() also
+    reads them so standalone callers of main() keep working)."""
+    if os.environ.get("BENCH_PALLAS_BWD"):  # 'pallas' | 'xla_recompute'
+        import merlot_tpu.ops.pallas_attention as _pa
+        _pa.BWD_MODE = os.environ["BENCH_PALLAS_BWD"]
+    if os.environ.get("BENCH_GN"):  # 'auto' | 'xla' | 'pallas'
+        import merlot_tpu.ops.pallas_groupnorm as _pgn
+        _pgn.BACKEND = os.environ["BENCH_GN"]
+        _pgn.TRAIN_BACKEND = os.environ["BENCH_GN"]
+
+
 if __name__ == "__main__":
+    _apply_backend_knobs()
     _mode = os.environ.get("BENCH_MODE")
     if _mode == "vit":
         bench_vit_encode()

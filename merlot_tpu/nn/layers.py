@@ -72,16 +72,17 @@ class GroupNorm(nn.Module):
     """GroupNorm(32) with one-pass fp32 statistics (utils/model_utils.py:133-222).
 
     ``relu`` / ``residual`` fold the following activation / shortcut add
-    into the same op — on TPU the fused pallas kernel
-    (ops/pallas_groupnorm) normalizes in one VMEM residency instead of
-    XLA's stats-read + normalize-reread; off TPU (or for shapes past its
-    VMEM budget) the call is exactly the unfused composition."""
+    into the same op. ``backend`` selects the implementation: the default
+    is the unfused XLA composition (measured faster at MERLOT's shapes);
+    'auto'/'pallas' use the fused one-pass kernel in ops/pallas_groupnorm
+    where its VMEM budget allows."""
     num_groups: int = 32
     epsilon: float = 1e-4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, residual: Optional[jnp.ndarray] = None,
-                 relu: bool = False) -> jnp.ndarray:
+                 relu: bool = False,
+                 backend: Optional[str] = None) -> jnp.ndarray:
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
@@ -89,7 +90,8 @@ class GroupNorm(nn.Module):
         return pallas_groupnorm.group_norm_act(
             x, gamma, beta, residual=residual, num_groups=self.num_groups,
             epsilon=self.epsilon, relu=relu,
-            backend=pallas_groupnorm.BACKEND)
+            backend=backend if backend is not None
+            else pallas_groupnorm.BACKEND)
 
 
 class WSConv(nn.Module):

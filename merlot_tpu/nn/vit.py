@@ -20,7 +20,7 @@ XLA does not need).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -66,23 +66,25 @@ class BottleneckBlock(nn.Module):
     strides: int = 1
     use_projection: bool = False
     dtype: Dtype = jnp.bfloat16
+    gn_backend: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gn = self.gn_backend
         shortcut = x
         if self.use_projection:
             s = avg_pool_same(x, self.strides, self.strides) if self.strides > 1 else x
             s = WSConv(4 * self.filters, 1, dtype=self.dtype, name="proj_conv")(s)
-            shortcut = GroupNorm(name="proj_gn")(s)
+            shortcut = GroupNorm(name="proj_gn")(s, backend=gn)
 
         y = WSConv(self.filters, 1, dtype=self.dtype, name="conv1")(x)
-        y = GroupNorm(name="gn1")(y, relu=True)
+        y = GroupNorm(name="gn1")(y, relu=True, backend=gn)
         y = WSConv(self.filters, 3, dtype=self.dtype, name="conv2")(y)
-        y = GroupNorm(name="gn2")(y, relu=True)
+        y = GroupNorm(name="gn2")(y, relu=True, backend=gn)
         if self.strides > 1:
             y = avg_pool_same(y, self.strides, self.strides)
         y = WSConv(4 * self.filters, 1, dtype=self.dtype, name="conv3")(y)
-        return GroupNorm(name="gn3")(y, residual=shortcut, relu=True)
+        return GroupNorm(name="gn3")(y, residual=shortcut, relu=True, backend=gn)
 
 
 class LiteResNet(nn.Module):
@@ -94,25 +96,27 @@ class LiteResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     dtype: Dtype = jnp.bfloat16
+    gn_backend: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.width
+        gn = self.gn_backend
         x = WSConv(w // 2, 3, strides=2, dtype=self.dtype, name="stem_conv0")(x)
-        x = GroupNorm(name="stem_gn0")(x, relu=True)
+        x = GroupNorm(name="stem_gn0")(x, relu=True, backend=gn)
         x = WSConv(w // 2, 3, strides=1, dtype=self.dtype, name="stem_conv1")(x)
-        x = GroupNorm(name="stem_gn1")(x, relu=True)
+        x = GroupNorm(name="stem_gn1")(x, relu=True, backend=gn)
         x = WSConv(w, 3, strides=1, dtype=self.dtype, name="stem_conv2")(x)
-        x = GroupNorm(name="stem_gn2")(x, relu=True)
+        x = GroupNorm(name="stem_gn2")(x, relu=True, backend=gn)
         x = avg_pool_same(x, 2, 2)
 
         for i, blocks in enumerate(self.layers):
             filters = w * (2 ** i)
             strides = 1 if i == 0 else 2
             x = BottleneckBlock(filters, strides, use_projection=True, dtype=self.dtype,
-                                name=f"group{i + 1}_block0")(x)
+                                gn_backend=gn, name=f"group{i + 1}_block0")(x)
             for b in range(1, blocks):
-                x = BottleneckBlock(filters, 1, dtype=self.dtype,
+                x = BottleneckBlock(filters, 1, dtype=self.dtype, gn_backend=gn,
                                     name=f"group{i + 1}_block{b}")(x)
         return x
 
@@ -156,8 +160,14 @@ class VisionBackbone(nn.Module):
                        name="patch_conv")(img_norm)
         else:
             assert p == 16, "hybrid ResNet stem downsamples by exactly 16"
+            # GN backend is chosen per path (forward-only vs training);
+            # both default to unfused XLA — the fused kernel measured
+            # slower on-chip at MERLOT's shapes (ops/pallas_groupnorm.py)
+            from merlot_tpu.ops import pallas_groupnorm
+            gn = (pallas_groupnorm.BACKEND if deterministic
+                  else pallas_groupnorm.TRAIN_BACKEND)
             c = LiteResNet(tuple(self.resnet_layers), width=64, dtype=self.dtype,
-                           name="resnet")(img_norm)
+                           gn_backend=gn, name="resnet")(img_norm)
             x = WSConv(self.hidden_size, 1, weight_standardization=False,
                        use_bias=True, dtype=self.dtype, name="post_resnet_proj")(c)
 

@@ -41,20 +41,37 @@ from merlot_tpu.ops import norms
 
 _VMEM_BUDGET = 11 << 20
 
-# Trace-time backend default for nn.layers.GroupNorm:
+# Trace-time backend defaults for nn.layers.GroupNorm:
 #   'auto'   — the fused kernel on TPU when the shape fits the budget
 #   'xla'    — always the unfused norms.group_norm composition
 #   'pallas' — force the kernel (interpret-mode tests)
-BACKEND = "auto"
+# BACKEND drives forward-only (deterministic) paths; TRAIN_BACKEND drives
+# training. BOTH default to 'xla': the kernel is a measured NEGATIVE on
+# this chip (PERF.md round 3 — ViT encode 1204 vs 1537 f/s, train step
+# 227.3 vs 239.6 seg/s). The VMEM tiling that forced the huge stem GNs
+# (c=32/64 lane-padded to 128) off the kernel leaves only mid-pyramid
+# sites, where XLA's stats+normalize fusions are already near traffic-
+# optimal and the kernel's one-program-per-image grid pipelines worse.
+# Kept selectable for other shapes/hardware (BENCH_GN knob).
+BACKEND = "xla"
+TRAIN_BACKEND = "xla"
 
 
 def kernel_supported(hw: int, c: int, num_groups: int, itemsize: int,
                      has_residual: bool) -> bool:
     """One grid step holds x (in dtype + an fp32 working copy), the
-    optional residual, and the output, double-buffered by Mosaic."""
+    optional residual, and the output, double-buffered by Mosaic.
+
+    VMEM is tiled: the lane dimension (c) is padded to 128 and the sublane
+    dimension (hw) to 8, so narrow-channel slabs cost far more than their
+    logical bytes — the 32-channel stem GN at 192x352 inputs is logically
+    0.5 MB but holds two 8.65 MB fp32 temps once padded (measured: Mosaic
+    scoped-vmem OOM, 16.52M > 16M limit). Estimate with PADDED shapes."""
     if c % num_groups != 0 or c % 8 != 0:
         return False
-    slab = hw * c
+    hw_eff = -(-hw // 8) * 8
+    c_eff = -(-c // 128) * 128
+    slab = hw_eff * c_eff
     blocks = slab * itemsize * (3 if has_residual else 2)  # x, out, (res)
     interm = 2 * slab * 4                                  # xf + one temp
     return 2 * blocks + interm <= _VMEM_BUDGET

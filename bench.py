@@ -256,9 +256,11 @@ def main():
             t0 = time.time()
             params, opt_state = init_train_state(model, optimizer, batch)
             log(f"  init: {time.time() - t0:.1f}s")
+            # default None -> ops.attention.training_backend()
+            # (vit_pallas on TPU, the measured-best config)
             step_fn = make_train_step(
                 model, optimizer,
-                attn_backend=os.environ.get("BENCH_ATTN", "auto"))
+                attn_backend=os.environ.get("BENCH_ATTN") or None)
             key = jax.random.PRNGKey(0)
 
             t0 = time.time()

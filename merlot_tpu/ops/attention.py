@@ -50,6 +50,22 @@ def inference_backend() -> str:
     return "xla"
 
 
+def training_backend() -> str:
+    """Preferred backend for TRAINING (grad) paths.
+
+    On TPU: 'vit_pallas' — the fused pallas forward+backward in the ViT
+    tower (the other towers stay XLA; running them on pallas too measured
+    a wash, 255.2 vs 255.0). End-to-end pretrain step 239.6 -> 255.0
+    seg/s/chip (+6.4%, PERF.md round 3). This deploys the backward kernel
+    that round 2 believed uncompilable: its 'compile helper HTTP 500' was
+    a Mosaic scoped-vmem OOM from an unpadded q-block estimate
+    (pallas_attention._bwd_q_block), not a helper bug. Off TPU: 'auto'
+    (XLA) — pallas kernels only compile on TPU."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return "vit_pallas"
+    return "auto"
+
+
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mask: Optional[jnp.ndarray], *,
                    collect: str = "none",

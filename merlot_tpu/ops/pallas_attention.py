@@ -333,18 +333,33 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
 
 
 def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
-                 has_mask: bool, budget: int = 11 << 20) -> int:
+                 has_mask: bool, budget: int = 10 << 20) -> int:
     """Largest q block whose VMEM footprint fits: Mosaic double-buffers
     every in/out block across grid steps (x2), plus the per-head fp32
-    score/prob/dp/ds intermediates live inside the program."""
+    score/prob/dp/ds intermediates and the dq/dk/dv head-concat
+    accumulators live on the program's scoped-VMEM stack.
+
+    All dims are modeled PADDED to the VMEM tiling (lanes to 128,
+    sublanes to 8): at ViT shape (Sq=Sk=266) the [q_blk, Sk]
+    intermediates really occupy [272, 384]. The unpadded estimate
+    admitted q_blk=266, whose true stack is 17.11 M > the 16 M scoped
+    limit — the previously-undiagnosed 'compile helper HTTP 500, no
+    detail' for every grad program containing this kernel (PERF.md
+    round 3). Budget is set below the hard limit to absorb what the
+    model still cannot see (per-head masked copies, Mosaic spills)."""
+    sk_rows = -(-sk // 8) * 8                      # sublane-padded k rows
+    sk_lanes = -(-sk // 128) * 128                 # lane-padded scores dim
+
     def est(q_blk: int) -> int:
-        blocks = (q_blk * hd * in_bytes * 2        # q + g in
-                  + 2 * sk * hd * in_bytes         # k + v in
-                  + q_blk * hd * 4                 # dq out
-                  + 2 * sk * hd * 4                # dk + dv outs
-                  + (q_blk * sk * 4 if has_mask else 0))
-        interm = 4 * q_blk * sk * 4                # s/p/dp/ds fp32
-        return 2 * blocks + interm
+        qb = -(-q_blk // 8) * 8
+        blocks = (qb * hd * in_bytes * 2           # q + g in
+                  + 2 * sk_rows * hd * in_bytes    # k + v in
+                  + qb * hd * 4                    # dq out
+                  + 2 * sk_rows * hd * 4           # dk + dv outs
+                  + (qb * sk_lanes * 4 if has_mask else 0))
+        interm = 4 * qb * sk_lanes * 4             # s/p/dp/ds fp32
+        concat = (qb + 2 * sk_rows) * hd * 4       # dq/dk/dv head concats
+        return 2 * blocks + interm + concat
 
     # a block smaller than the dim must be 8-divisible (Mosaic tiling rule)
     if sq <= 512 and est(sq) <= budget:

@@ -29,8 +29,15 @@ from merlot_tpu.train.optimizer import MerlotAdamW
 
 def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
                     donate: bool = True,
-                    attn_backend: str = "auto") -> Callable:
-    """Build the jitted (params, opt_state, batch, root_key) -> ... step."""
+                    attn_backend: Optional[str] = None) -> Callable:
+    """Build the jitted (params, opt_state, batch, root_key) -> ... step.
+
+    attn_backend=None resolves to ops.attention.training_backend():
+    fused pallas attention in the ViT tower on TPU (+6.4% step
+    throughput, PERF.md round 3), XLA elsewhere."""
+    if attn_backend is None:
+        from merlot_tpu.ops.attention import training_backend
+        attn_backend = training_backend()
 
     def train_step(params, opt_state, batch, root_key):
         step = opt_state["step"]

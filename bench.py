@@ -285,7 +285,7 @@ def main():
                 f"({dt / n_steps * 1000:.0f} ms/step)")
             break
         except Exception as e:  # OOM at this batch -> try smaller
-            log(f"  batch={batch_size} failed: {type(e).__name__}: {str(e)[:300]}")
+            log(f"  batch={batch_size} failed: {type(e).__name__}: {str(e)[:4000]}")
             continue
 
     if value is None:

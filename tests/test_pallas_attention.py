@@ -179,3 +179,21 @@ def test_flash_random_shapes_property(rng, seed):
     if collect == "colsum":
         np.testing.assert_allclose(np.asarray(extra), np.asarray(extra_ref),
                                    rtol=3e-5, atol=3e-5)
+
+
+def test_bwd_q_block_respects_padded_vmem():
+    """Regression guard for the round-3 scoped-vmem fix: the backward
+    q-block sizer must model VMEM tiling (lanes pad to 128, sublanes to
+    8). At the ViT training shape (Sq=Sk=266, H*D=768, bf16) the unpadded
+    estimate admitted q_blk=266, whose true stack is 17.11 MB > the 16 MB
+    Mosaic scoped limit — every grad program containing the kernel then
+    died as an opaque 'compile helper HTTP 500'. q_blk=128 compiles and
+    runs (PERF.md round 3); anything above it must stay rejected."""
+    from merlot_tpu.ops.pallas_attention import _bwd_q_block
+
+    # ViT tower (no mask): must choose a strict sub-block, at most 128
+    assert _bwd_q_block(266, 266, 768, 2, has_mask=False) <= 128
+    # joint tower (masked, S=396): at most 128 for the same reason
+    assert _bwd_q_block(396, 396, 768, 2, has_mask=True) <= 128
+    # tiny test shapes keep the whole-Sq fast path (interpret-mode tests)
+    assert _bwd_q_block(48, 48, 64, 4, has_mask=True) == 48

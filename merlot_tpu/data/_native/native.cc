@@ -340,11 +340,17 @@ static PyObject *py_decode_jpeg(PyObject *self, PyObject *args) {
 // image cropped at (off_y, off_x) of the virtual [scaled_h, scaled_w]
 // resize and zero-padded to the fixed output. GIL released.
 // ---------------------------------------------------------------------
-static void resize_rows_f32(const float *src, const uint8_t *src8,
-                            long in_h, long in_w, double sy_scale,
-                            double sx_scale, long off_y, long off_x,
-                            long copy_h, long copy_w, long out_w,
-                            float *dst) {
+// u8 -> [0,1] via a table of the exact `(float)v / 255.0f` values
+// (identical results to the per-pixel division, none of its cost).
+// Filled once at module init — parse-pool threads run resize_rows_f32
+// with the GIL released, so lazy in-function init would be a data race.
+static float g_u8_lut[256];
+
+static int resize_rows_f32(const float *src, const uint8_t *src8,
+                           long in_h, long in_w, double sy_scale,
+                           double sx_scale, long off_y, long off_x,
+                           long copy_h, long copy_w, long out_w,
+                           float *dst) {
   // per-column gather indices/weights, matching the numpy oracle:
   // coords in double, weights cast to f32 AFTER the subtraction
   long *x0 = (long *)malloc(sizeof(long) * (size_t)copy_w);
@@ -352,7 +358,7 @@ static void resize_rows_f32(const float *src, const uint8_t *src8,
   float *wx = (float *)malloc(sizeof(float) * (size_t)copy_w);
   if (!x0 || !x1 || !wx) {
     free(x0); free(x1); free(wx);
-    return;  // caller pre-zeroed dst; allocation failure yields zeros
+    return -1;  // caller raises MemoryError (dst would stay all-zero)
   }
   for (long xx = 0; xx < copy_w; xx++) {
     double sx = (double)(off_x + xx) * sx_scale;
@@ -371,22 +377,16 @@ static void resize_rows_f32(const float *src, const uint8_t *src8,
     float wy = (float)(sy - (double)y0);
     float *out_row = dst + (size_t)yy * out_w * 3;
     if (src8) {
-      // u8 -> [0,1] via a LUT of the exact `(float)v / 255.0f` values
-      // (identical results, no per-pixel division)
-      static float lut[256];
-      static int lut_ready = 0;
-      if (!lut_ready) {
-        for (int i = 0; i < 256; i++) lut[i] = (float)i / 255.0f;
-        lut_ready = 1;
-      }
       const uint8_t *r0 = src8 + (size_t)y0 * in_w * 3;
       const uint8_t *r1 = src8 + (size_t)y1 * in_w * 3;
       for (long xx = 0; xx < copy_w; xx++) {
         long c0 = x0[xx], c1 = x1[xx];
         float fx = wx[xx];
         for (int ch = 0; ch < 3; ch++) {
-          float top = lut[r0[c0 + ch]] * (1.0f - fx) + lut[r0[c1 + ch]] * fx;
-          float bot = lut[r1[c0 + ch]] * (1.0f - fx) + lut[r1[c1 + ch]] * fx;
+          float top = g_u8_lut[r0[c0 + ch]] * (1.0f - fx) +
+                      g_u8_lut[r0[c1 + ch]] * fx;
+          float bot = g_u8_lut[r1[c0 + ch]] * (1.0f - fx) +
+                      g_u8_lut[r1[c1 + ch]] * fx;
           out_row[xx * 3 + ch] = top * (1.0f - wy) + bot * wy;
         }
       }
@@ -405,6 +405,7 @@ static void resize_rows_f32(const float *src, const uint8_t *src8,
     }
   }
   free(x0); free(x1); free(wx);
+  return 0;
 }
 
 static PyObject *py_resize_bilinear_pad(PyObject *self, PyObject *args) {
@@ -436,18 +437,21 @@ static PyObject *py_resize_bilinear_pad(PyObject *self, PyObject *args) {
   double sx_scale =
       scaled_w > 1 ? (double)(in_w - 1) / (double)(scaled_w - 1) : 0.0;
 
+  int rc = 0;
   Py_BEGIN_ALLOW_THREADS
   // caller provides a zeroed float32 [out_h, out_w, 3] array (np.zeros —
   // calloc'd); only the resized crop window is written here
   if (copy_h > 0 && copy_w > 0)
-    resize_rows_f32(is_u8 ? NULL : (const float *)view.buf,
-                    is_u8 ? (const uint8_t *)view.buf : NULL, in_h, in_w,
-                    sy_scale, sx_scale, off_y, off_x, copy_h, copy_w, out_w,
-                    dst);
+    rc = resize_rows_f32(is_u8 ? NULL : (const float *)view.buf,
+                         is_u8 ? (const uint8_t *)view.buf : NULL, in_h,
+                         in_w, sy_scale, sx_scale, off_y, off_x, copy_h,
+                         copy_w, out_w, dst);
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&dst_view);
   PyBuffer_Release(&view);
+  if (rc != 0)
+    return PyErr_NoMemory();  // never hand back a silently-black image
   Py_RETURN_NONE;
 }
 
@@ -472,5 +476,8 @@ static struct PyModuleDef module = {PyModuleDef_HEAD_INIT, "_merlot_native",
 
 PyMODINIT_FUNC PyInit__merlot_native(void) {
   init_tables();
+  // module init runs single-threaded; the GIL-released resize threads
+  // only ever read this table
+  for (int i = 0; i < 256; i++) g_u8_lut[i] = (float)i / 255.0f;
   return PyModule_Create(&module);
 }

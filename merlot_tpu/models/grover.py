@@ -157,13 +157,20 @@ class GroverLayer(nn.Module):
             k_len = s
 
         cached = cache_kv is not None or cache_k is not None
+        # decode steps (s<=8: tiny q/o/mask blocks, footprint is the
+        # full-cache block) get the raised DECODE_VMEM_BUDGET so long
+        # serving contexts (e.g. the denoise server's 1537) keep the
+        # fused kernel instead of silently falling back to the einsums
         use_kernel = (cached and DECODE_ATTN != "xla"
                       and (DECODE_ATTN == "pallas"
                            or (jax.default_backend() == "tpu"
                                and pallas_attention.kernel_supported(
                                    s, k_len, c.d_head,
                                    c.num_attention_heads, True,
-                                   jnp.dtype(q.dtype).itemsize))))
+                                   jnp.dtype(q.dtype).itemsize,
+                                   budget=(
+                                       pallas_attention.DECODE_VMEM_BUDGET
+                                       if s <= 8 else None)))))
         if use_kernel:
             # cached serving forward: one fused kernel for scores + mask +
             # fp32 softmax + context — same math as the einsum path below

@@ -143,6 +143,13 @@ def _ceil_div(a: int, b: int) -> int:
 
 
 _FWD_VMEM_BUDGET = 11 << 20
+# Decode steps (sq <= 8) have tiny q/o/mask blocks; the footprint is the
+# full-cache k/v block, which the 11 MB training/prefill budget caps at
+# k_len ~1340 for grover-medium bf16 — below the denoise server's default
+# 1537 context, silently costing it the fused-decode win. The real Mosaic
+# scoped limit is 16 MB; 14 MB admits k_len up to ~1770 with headroom for
+# what the estimate cannot see (validated on-chip at 1537, PERF.md r3).
+DECODE_VMEM_BUDGET = 14 << 20
 
 
 def _fwd_vmem_est(q_blk: int, sk: int, hd: int, num_heads: int,
@@ -578,10 +585,11 @@ def flash_attention_stacked(q, kv, mask, *,
     sk = kv.shape[1]
     hd = h * d
     q3 = q.reshape(b, sq, hd)
-    sm_dtype = jnp.float32 if softmax_fp32 else q3.dtype
 
     q_blk = _fwd_q_block(sq, sk, hd, h, q3.dtype.itemsize,
-                         mask is not None, False, 4)
+                         mask is not None, False, 4,
+                         budget=DECODE_VMEM_BUDGET if sq <= 8
+                         else _FWD_VMEM_BUDGET)
     grid = (b, _ceil_div(sq, q_blk))
 
     in_specs = [
@@ -611,14 +619,14 @@ def flash_attention_stacked(q, kv, mask, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )(*args)
-    del sm_dtype
     return ctx.reshape(b, sq, h, d)
 
 
 def kernel_supported(sq: int, sk: int, d_head: int,
                      num_heads: Optional[int] = None,
                      has_mask: bool = True,
-                     itemsize: int = 2) -> bool:
+                     itemsize: int = 2,
+                     budget: Optional[int] = None) -> bool:
     """Shapes the kernel handles with its VMEM budget; callers fall back to
     XLA otherwise (very long sequences, e.g. Grover decode caches).
 
@@ -632,10 +640,12 @@ def kernel_supported(sq: int, sk: int, d_head: int,
     if not (sq <= MAX_KERNEL_SEQ and sk <= MAX_KERNEL_SEQ and d_head <= 128):
         return False
     if num_heads is not None:
+        if budget is None:
+            budget = _FWD_VMEM_BUDGET
         hd = num_heads * d_head
         emit = BWD_MODE == "xla_probs"
         q_blk = _fwd_q_block(sq, sk, hd, num_heads, itemsize, has_mask,
-                             emit_probs=emit, probs_bytes=4)
+                             emit_probs=emit, probs_bytes=4, budget=budget)
         return _fwd_vmem_est(q_blk, sk, hd, num_heads, itemsize, has_mask,
-                             emit, 4) <= _FWD_VMEM_BUDGET
+                             emit, 4) <= budget
     return True

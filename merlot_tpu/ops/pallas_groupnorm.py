@@ -139,13 +139,14 @@ def _gn_pallas(x3, gamma, beta, residual3, *, num_groups: int,
         args.append(residual3)
         in_specs.append(pl.BlockSpec((1, hw, c), lambda bi: (bi, 0, 0)))
 
-    kernel = functools.partial(_gn_kernel, num_groups=num_groups,
-                               epsilon=epsilon, relu=relu)
     if residual3 is not None:
-        def kernel(x_ref, g_ref, b_ref, r_ref, o_ref, m_ref, s_ref):  # noqa
+        def kernel(x_ref, g_ref, b_ref, r_ref, o_ref, m_ref, s_ref):
             _gn_kernel(x_ref, g_ref, b_ref, o_ref, m_ref, s_ref,
                        num_groups=num_groups, epsilon=epsilon, relu=relu,
                        res_ref=r_ref)
+    else:
+        kernel = functools.partial(_gn_kernel, num_groups=num_groups,
+                                   epsilon=epsilon, relu=relu)
 
     out, mean, rstd = pl.pallas_call(
         kernel,

@@ -168,6 +168,10 @@ def single_process_reference(workdir: str, num_procs: int) -> float:
 
 
 def main() -> None:
+    # CPU-only tool: make sure the child interpreters' sitecustomize skips
+    # axon registration (it touches the TPU tunnel at import even under
+    # JAX_PLATFORMS=cpu, and blocks for minutes when the tunnel is wedged).
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-procs", type=int, default=2)
     ap.add_argument("--process-id", type=int, default=None)

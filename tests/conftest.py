@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests never touch the TPU tunnel; dropping the sitecustomize trigger keeps
+# subprocesses spawned by tests (oracles, multiprocess smoke workers) from
+# re-registering the axon backend at import — which blocks for minutes when
+# the tunnel is wedged, spuriously timing out CPU-only subprocess tests.
+# (Too late for THIS process — sitecustomize already ran — but conftest's
+# jax.config override below handles that.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
 

@@ -31,6 +31,12 @@ TINY = {
 def _cpu_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # Without the pool-IPs trigger this image's sitecustomize skips axon
+    # registration entirely. Registration touches the TPU tunnel at import
+    # time EVEN under JAX_PLATFORMS=cpu, and a wedged tunnel blocks it for
+    # minutes — these CPU-only oracle subprocesses then die on the 420 s
+    # timeout with the work never started (observed round 3).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return env
 
 

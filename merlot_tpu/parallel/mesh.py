@@ -131,6 +131,56 @@ def shard_params(params, mesh: Mesh):
                         params, param_shardings(params, mesh))
 
 
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis.
+#
+# The reference replicates Adam state on every core (TPUEstimator has no
+# other mode). GSPMD gives the sharded-optimizer regime for free: annotate
+# each m/v leaf as sharded over 'data' on its largest divisible free axis,
+# and XLA turns the gradient all-reduce + sliced update + replicated
+# new_params into reduce-scatter -> local update -> all-gather over ICI.
+# Memory per chip for Adam state drops ~data_size x; the collective volume
+# is the same as plain DP (one RS + one AG vs one AR).
+# ---------------------------------------------------------------------------
+def zero1_partition_spec(path: str, leaf: Any, data_size: int) -> P:
+    """Param's TP spec + 'data' on the largest free axis divisible by the
+    data-axis size. Leaves with no divisible free axis stay on the param
+    spec (replicated over data) — correct, just not memory-sharded."""
+    spec = list(param_partition_spec(path, leaf))
+    shape = np.shape(leaf)
+    spec += [None] * (len(shape) - len(spec))
+    free = [(shape[i], i) for i in range(len(shape))
+            if spec[i] is None and data_size > 1
+            and shape[i] % data_size == 0 and shape[i] >= data_size]
+    if free:
+        _, axis = max(free)
+        spec[axis] = "data"
+    return P(*spec)
+
+
+def opt_state_shardings(opt_state, mesh: Mesh):
+    """NamedShardings for a {'step', 'm', 'v'} optimizer state: m/v leaves
+    ZeRO-1-sharded (their pytree paths mirror the param paths), scalars
+    replicated."""
+    data_size = mesh.shape["data"]
+
+    def slot(tree):
+        def one(keypath, leaf):
+            return NamedSharding(mesh, zero1_partition_spec(
+                _path_str(keypath), leaf, data_size))
+        return jax.tree_util.tree_map_with_path(one, tree)
+
+    return {k: (slot(v) if k in ("m", "v")
+                else jax.tree.map(lambda _: NamedSharding(mesh, P()), v))
+            for k, v in opt_state.items()}
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Place an optimizer state onto the mesh with ZeRO-1 shardings."""
+    return jax.tree.map(lambda x, s: jax.device_put(x, s),
+                        opt_state, opt_state_shardings(opt_state, mesh))
+
+
 def batch_sharding(mesh: Mesh):
     """Every batch array is sharded on its leading dim over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -30,10 +30,13 @@ class Trainer:
                  checkpoint_every: int = 1000,
                  profile_dir: Optional[str] = None,
                  profile_steps: Optional[range] = None,
-                 seed: int = 0):
+                 seed: int = 0, zero1: bool = False):
         self.model = model
         self.optimizer = optimizer
         self.mesh = mesh
+        # ZeRO-1 optimizer-state sharding over the mesh's data axis
+        # (parallel.mesh.zero1_partition_spec); needs a mesh.
+        self.zero1 = zero1 and mesh is not None
         self.log_every = log_every
         self.checkpoint_every = checkpoint_every
         self.ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
@@ -41,7 +44,8 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self.seed = seed
-        self.step_fn = make_train_step(model, optimizer)
+        self.step_fn = make_train_step(model, optimizer, mesh=mesh,
+                                       zero1=self.zero1)
         # ONE jitted eval closure for the Trainer's lifetime: jax.jit
         # caches by function identity, so building the lambda inside
         # evaluate() would recompile the full eval program on every call —
@@ -64,15 +68,18 @@ class Trainer:
             print(f"restoring checkpoint at step {latest}")
             state = self.ckpt.restore(latest,
                                       {"params": params, "opt_state": opt_state})
-            return state["params"], state["opt_state"]
-
-        if init_checkpoint:
+            params, opt_state = state["params"], state["opt_state"]
+        elif init_checkpoint:
             print(f"warm starting from {init_checkpoint}")
             import orbax.checkpoint as ocp
             ckptr = ocp.StandardCheckpointer()
             src = ckptr.restore(os.path.abspath(init_checkpoint))
             src_params = src.get("params", src)
             params, _ = warm_start(params, src_params)
+        if self.zero1:
+            from merlot_tpu.parallel.mesh import shard_opt_state, shard_params
+            params = shard_params(params, self.mesh)
+            opt_state = shard_opt_state(opt_state, self.mesh)
         return params, opt_state
 
     # ------------------------------------------------------------------

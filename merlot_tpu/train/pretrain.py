@@ -58,7 +58,10 @@ def main(argv=None):
     trainer = Trainer(
         model, optimizer, output_dir=config.device["output_dir"], mesh=mesh,
         log_every=config.device.get("log_every", 50),
-        checkpoint_every=config.device.get("iterations_per_loop", 1000))
+        checkpoint_every=config.device.get("iterations_per_loop", 1000),
+        # device.use_zero1: shard Adam state over the data axis (ZeRO-1);
+        # per-chip optimizer memory / data_parallelism, same step math
+        zero1=config.device.get("use_zero1", False))
 
     batches = device_put_iterator(
         iter(loader), batch_sharding(mesh),

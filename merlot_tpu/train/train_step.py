@@ -29,15 +29,36 @@ from merlot_tpu.train.optimizer import MerlotAdamW
 
 def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
                     donate: bool = True,
-                    attn_backend: Optional[str] = None) -> Callable:
+                    attn_backend: Optional[str] = None,
+                    mesh=None, zero1: bool = False) -> Callable:
     """Build the jitted (params, opt_state, batch, root_key) -> ... step.
 
     attn_backend=None resolves to ops.attention.training_backend():
     fused pallas attention in the ViT tower on TPU (+6.4% step
-    throughput, PERF.md round 3), XLA elsewhere."""
+    throughput, PERF.md round 3), XLA elsewhere.
+
+    zero1=True (requires mesh) pins the updated optimizer state to the
+    ZeRO-1 shardings (parallel.mesh.zero1_partition_spec) and the updated
+    params back to the replicated-over-data param shardings: GSPMD then
+    lowers grad-allreduce + sliced update + gather to reduce-scatter ->
+    local Adam -> all-gather, cutting per-chip Adam-state memory by the
+    data-axis size at the same collective volume as plain DP. Inputs
+    should arrive pre-placed (shard_params / shard_opt_state) so donation
+    can reuse the buffers."""
     if attn_backend is None:
         from merlot_tpu.ops.attention import training_backend
         attn_backend = training_backend()
+    if zero1:
+        assert mesh is not None, "zero1 sharding needs a mesh"
+
+    def _pin_state(new_params, new_opt_state):
+        from merlot_tpu.parallel.mesh import (opt_state_shardings,
+                                              param_shardings)
+        new_params = jax.lax.with_sharding_constraint(
+            new_params, param_shardings(new_params, mesh))
+        new_opt_state = jax.lax.with_sharding_constraint(
+            new_opt_state, opt_state_shardings(new_opt_state, mesh))
+        return new_params, new_opt_state
 
     def train_step(params, opt_state, batch, root_key):
         step = opt_state["step"]
@@ -54,6 +75,8 @@ def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         new_params, new_opt_state, opt_metrics = optimizer.update(
             grads, opt_state, params)
+        if zero1:
+            new_params, new_opt_state = _pin_state(new_params, new_opt_state)
         metrics.update(opt_metrics)
         metrics["loss"] = loss
         return new_params, new_opt_state, metrics

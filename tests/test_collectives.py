@@ -91,3 +91,57 @@ def test_param_shardings_actually_split_model_axis():
     assert any("word_embeddings" in p for p in model_sharded)
     # conv kernels replicated
     assert not any("conv" in p for p in model_sharded)
+
+
+def test_zero1_shards_adam_state_and_matches_replicated(rng):
+    """ZeRO-1 (device.use_zero1): Adam m/v shard over the data axis —
+    per-chip state memory really drops — and two training steps produce
+    the same params/loss as the replicated-state baseline (GSPMD turns
+    all-reduce + sliced update + gather into RS -> local Adam -> AG; the
+    math must be unchanged)."""
+    from merlot_tpu.parallel.mesh import shard_opt_state, zero1_partition_spec
+
+    mesh = make_mesh(data=4, model=2)
+    model = MerlotPretrainModel(CFG)
+    opt = MerlotAdamW(AdamWConfig(learning_rate=1e-3, num_train_steps=10,
+                                  num_warmup_steps=0, clip_norm=0.0))
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+
+    def run(zero1):
+        with mesh:
+            params, opt_state = init_train_state(model, opt, batch)
+            params = shard_params(params, mesh)
+            if zero1:
+                opt_state = shard_opt_state(opt_state, mesh)
+            else:
+                opt_state = {"step": opt_state["step"],
+                             "m": shard_params(opt_state["m"], mesh),
+                             "v": shard_params(opt_state["v"], mesh)}
+            b = shard_batch(batch, mesh)
+            step = make_train_step(model, opt, donate=False,
+                                   mesh=mesh if zero1 else None, zero1=zero1)
+            losses = []
+            for _ in range(2):
+                params, opt_state, metrics = step(params, opt_state, b, key)
+            return params, opt_state, float(metrics["loss"])
+
+    p_ref, _, loss_ref = run(zero1=False)
+    p_z, st_z, loss_z = run(zero1=True)
+
+    # the state really is sharded: some m leaf's addressable shard is
+    # smaller than the full leaf along the chosen axis
+    flat = jax.tree_util.tree_leaves(st_z["m"])
+    assert any(x.addressable_shards[0].data.size < x.size for x in flat
+               if x.ndim >= 1), "no m leaf actually sharded over data"
+    # spec sanity: a 2-D TP kernel gets 'data' on its free axis
+    spec = zero1_partition_spec("encoder/attention/query/kernel",
+                                np.zeros((64, 64)), 4)
+    assert "data" in spec
+
+    # identical training math
+    np.testing.assert_allclose(loss_z, loss_ref, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

@@ -211,7 +211,8 @@ class MerlotModel(nn.Module):
                  collect_attention: str = "none",
                  deterministic: bool = True,
                  attn_backend: str = "auto",
-                 attn_backend_vit: Optional[str] = None) -> Dict[str, Any]:
+                 attn_backend_vit: Optional[str] = None,
+                 attn_backend_lang: Optional[str] = None) -> Dict[str, Any]:
         """Forward pass.
 
         Args:
@@ -282,7 +283,8 @@ class MerlotModel(nn.Module):
         if mask_input:
             lang_trg_h, attn_mass = self._langonly(
                 input_ids3, batch_size, num_chunks, lang_chunk_len,
-                deterministic=deterministic, attn_backend=attn_backend)
+                deterministic=deterministic,
+                attn_backend=attn_backend_lang or attn_backend)
             out["lang_trg_h"] = lang_trg_h
             ids_2d = input_ids3.reshape(B, L)
             masked_ids, masked_idx = attention_guided_span_mask(

@@ -139,17 +139,22 @@ class MerlotPretrainModel(nn.Module):
                  collect_attention: str = "none",
                  attn_backend: str = "auto"):
         cfg = self.cfg
-        # 'vit_pallas': pallas attention in the ViT tower only (see
-        # MerlotModel.__call__ attn_backend_vit)
-        backend_vit = None
+        # per-tower splits: 'vit_pallas' = pallas attention in the ViT
+        # tower only (the training default on TPU, PERF.md round 3);
+        # 'vitlang_pallas' additionally runs the lang-only tower (colsum
+        # collect) on the kernel while the joint tower stays XLA — the
+        # tower where XLA's saved-probs backward still wins
+        backend_vit = backend_lang = None
         if attn_backend == "vit_pallas":
             attn_backend, backend_vit = "auto", "pallas"
+        elif attn_backend == "vitlang_pallas":
+            attn_backend, backend_vit, backend_lang = "auto", "pallas", "pallas"
         fwd = self.model(
             batch["images"], batch["input_ids"], mask_input=True,
             shuffled_idx_img=batch["shuffled_idx_img"],
             collect_attention=collect_attention,
             deterministic=deterministic, attn_backend=attn_backend,
-            attn_backend_vit=backend_vit)
+            attn_backend_vit=backend_vit, attn_backend_lang=backend_lang)
 
         lang_l, lang_m = mask_loss(self.model, fwd)
         contr_l, contr_m = contrastive_loss(self.model, fwd, cfg)

@@ -163,7 +163,9 @@ class GroverLayer(nn.Module):
         # fused kernel instead of silently falling back to the einsums
         use_kernel = (cached and DECODE_ATTN != "xla"
                       and (DECODE_ATTN == "pallas"
-                           or (jax.default_backend() == "tpu"
+                           # 'axon' is this image's remote-TPU platform
+                           # name (same hardware; see attention.py)
+                           or (jax.default_backend() in ("tpu", "axon")
                                and pallas_attention.kernel_supported(
                                    s, k_len, c.d_head,
                                    c.num_attention_heads, True,

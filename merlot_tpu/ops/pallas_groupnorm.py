@@ -252,7 +252,10 @@ def group_norm_act(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                           jnp.dtype(x.dtype).itemsize,
                           residual is not None)
     use = backend == "pallas" or (backend == "auto" and ok
-                                  and jax.default_backend() == "tpu")
+                                  # 'axon' = this image's remote-TPU
+                                  # platform name (see ops/attention.py)
+                                  and jax.default_backend() in ("tpu",
+                                                                "axon"))
     if use:
         return _gn_act_p(x, gamma, beta, residual, num_groups, epsilon,
                          relu)

@@ -150,7 +150,8 @@ def ln_matmul(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     for d in x.shape[:-1]:
         m *= d
     same_n = all(w.shape == (k, n) for w in kernels)
-    on_tpu = jax.default_backend() == "tpu" or INTERPRET
+    # 'axon' = this image's remote-TPU platform name (see ops/attention.py)
+    on_tpu = jax.default_backend() in ("tpu", "axon") or INTERPRET
     sup = kernel_supported(m, k, n, jnp.dtype(x.dtype).itemsize,
                            j=len(kernels)) \
         if (on_tpu and same_n) else None

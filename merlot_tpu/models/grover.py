@@ -479,6 +479,47 @@ def lm_logits_for_hidden(variables, cfg: GroverConfig,
                    preferred_element_type=jnp.float32)
 
 
+def grover_pipeline_forward(variables, cfg: GroverConfig,
+                            input_ids: jnp.ndarray, *, mesh,
+                            num_microbatches: int,
+                            axis: str = "stage") -> jnp.ndarray:
+    """Training forward with the 24-layer stack PIPELINE-parallel over a
+    ``stage`` mesh axis (parallel/pipeline.py GPipe schedule) — the scale
+    axis for decoder LMs that outgrow DP+TP memory. Embeddings and the
+    tied logits head stay replicated (they are ~1/6 of grover-medium);
+    only the uniform ``layer{i:02d}`` stack is staged. Microbatches
+    stream through ppermute hops; jax.grad through this function yields
+    the reverse pipeline, so it drops into the standard train step.
+
+    Math is identical to ``GroverLM.apply`` at cache=None (same modules,
+    same order); tests assert logits equality. Returns [B, S, vocab]
+    fp32 logits.
+    """
+    from merlot_tpu.parallel.pipeline import (microbatch, pipeline_apply,
+                                              stack_stage_params)
+    p = variables["params"]
+    c = cfg
+    b, s = input_ids.shape
+    h = jnp.take(p["word_embed"], input_ids, axis=0)
+    h = LayerNorm(name="embed_norm").apply(
+        {"params": p["embed_norm"]}, h + p["pos_embed"][:s][None])
+    mask = (jnp.arange(s)[None] <= jnp.arange(s)[:, None]
+            ).astype(jnp.float32)[None]
+
+    layer = GroverLayer(c)
+
+    def layer_fn(lp, hh):
+        return layer.apply({"params": lp}, hh, mask)[0]
+
+    n_stage = mesh.shape[axis]
+    stacked = stack_stage_params(
+        [p[f"layer{i:02d}"] for i in range(c.num_hidden_layers)], n_stage)
+    h_mb = microbatch(h, num_microbatches)
+    out = pipeline_apply(layer_fn, stacked, h_mb, mesh=mesh, axis=axis)
+    out = out.reshape(b, s, c.hidden_size)
+    return lm_logits_for_hidden(variables, c, out)
+
+
 def cast_params_for_serving(variables):
     """Serving fast path: store matrices/embeddings in bf16 on device.
 

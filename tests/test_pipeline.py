@@ -1,0 +1,109 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the virtual CPU mesh:
+the staged GPipe schedule must be a bit-faithful reimplementation of the
+sequential layer stack — forward AND backward (jax differentiates through
+the ppermute schedule) — with params genuinely sharded per stage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_tpu.models.grover import GroverConfig, GroverLayer
+from merlot_tpu.parallel.mesh import make_mesh
+from merlot_tpu.parallel.pipeline import (microbatch, pipeline_apply,
+                                          shard_stage_params,
+                                          stack_stage_params)
+from jax.sharding import Mesh
+
+CFG = GroverConfig(vocab_size=128, hidden_size=32, num_hidden_layers=8,
+                   num_attention_heads=4, intermediate_size=64,
+                   max_position_embeddings=32, hidden_dropout_prob=0.0)
+B, S, M, N_STAGE = 8, 12, 4, 4
+
+
+def _setup(rng):
+    h = jnp.asarray(rng.standard_normal((B, S, CFG.hidden_size)),
+                    jnp.float32)
+    mask = jnp.tril(jnp.ones((S, S), jnp.float32))[None]
+    layer = GroverLayer(CFG)
+    keys = jax.random.split(jax.random.PRNGKey(0), CFG.num_hidden_layers)
+    layer_params = [
+        layer.init(k, h[:1], mask)["params"] for k in keys]
+
+    def layer_fn(p, hh):
+        return layer.apply({"params": p}, hh, mask)[0]
+
+    return h, layer_params, layer_fn
+
+
+def _sequential(layer_params, layer_fn, h):
+    for p in layer_params:
+        h = layer_fn(p, h)
+    return h
+
+
+def test_pipeline_forward_matches_sequential(rng):
+    h, layer_params, layer_fn = _setup(rng)
+    mesh = Mesh(np.asarray(jax.devices()[:N_STAGE]), ("stage",))
+    stacked = stack_stage_params(layer_params, N_STAGE)
+    stacked = shard_stage_params(stacked, mesh)
+
+    # params really live one stage per device
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.addressable_shards[0].data.shape[0] == 1
+
+    h_mb = microbatch(h, M)
+    out = jax.jit(lambda p, x: pipeline_apply(
+        layer_fn, p, x, mesh=mesh))(stacked, h_mb)
+    ref = _sequential(layer_params, layer_fn, h)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(B, S, -1), np.asarray(ref),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_backward_matches_sequential(rng):
+    h, layer_params, layer_fn = _setup(rng)
+    mesh = Mesh(np.asarray(jax.devices()[:N_STAGE]), ("stage",))
+    stacked_host = stack_stage_params(layer_params, N_STAGE)
+    stacked = shard_stage_params(stacked_host, mesh)
+    h_mb = microbatch(h, M)
+
+    def loss_pp(p, x):
+        out = pipeline_apply(layer_fn, p, x, mesh=mesh)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_seq(p_stacked, x):
+        # same stacked tree, applied sequentially stage-by-stage
+        hh = x
+        for s in range(N_STAGE):
+            per = jax.tree.map(lambda v: v[s], p_stacked)
+            def body(carry, one):
+                return layer_fn(one, carry), None
+            hh, _ = jax.lax.scan(body, hh, per)
+        return jnp.sum(hh.astype(jnp.float32) ** 2)
+
+    l_pp, g_pp = jax.jit(jax.value_and_grad(loss_pp))(stacked, h_mb)
+    l_sq, g_sq = jax.jit(jax.value_and_grad(loss_seq))(stacked_host, h)
+
+    np.testing.assert_allclose(float(l_pp), float(l_sq), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_sq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_grover_pipeline_forward_matches_lm(rng):
+    """grover_pipeline_forward == GroverLM.apply logits (training path):
+    the staged stack is the same model, just scheduled over stages."""
+    from merlot_tpu.models.grover import GroverLM, grover_pipeline_forward
+
+    model = GroverLM(CFG)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (B, S)), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+    logits_ref, _ = jax.jit(lambda v, x: model.apply(v, x))(variables, ids)
+
+    mesh = Mesh(np.asarray(jax.devices()[:N_STAGE]), ("stage",))
+    logits_pp = jax.jit(lambda v, x: grover_pipeline_forward(
+        v, CFG, x, mesh=mesh, num_microbatches=M))(variables, ids)
+
+    np.testing.assert_allclose(np.asarray(logits_pp), np.asarray(logits_ref),
+                               rtol=2e-5, atol=2e-5)

@@ -18,11 +18,18 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue
+import threading
 import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _ceil_pow2(n: int) -> int:
+    return 1 << (max(n, 1) - 1).bit_length()
 
 
 def extract_generated_target(output_tokens: np.ndarray, tokenizer,
@@ -45,7 +52,8 @@ class Denoiser:
                  max_len: int = 1537, top_p: float = 0.94,
                  max_ctx: int = 1280, bf16: bool = False,
                  k_prefilter: int = 1024, tp: int = 1,
-                 fuse_qkv: bool = True):
+                 fuse_qkv: bool = True,
+                 batch_window_ms: float = 15.0, max_batch: int = 8):
         import dataclasses
         import jax
         from merlot_tpu.core.tokenizer import get_grover_tokenizer
@@ -74,6 +82,13 @@ class Denoiser:
         self.k_prefilter = k_prefilter
         self._samplers = {}
         self._key = jax.random.PRNGKey(int(time.time()))
+        self._key_lock = threading.Lock()
+        # dynamic request batching: concurrent /api/ask calls coalesce
+        # into ONE batched sampler run (decode is weight-read-bound, so
+        # batch-8 aggregate is ~3-5x batch-1 — PERF.md). 0 disables.
+        self.engine = (BatchingEngine(self, max_batch=max_batch,
+                                      window_ms=batch_window_ms)
+                       if batch_window_ms > 0 and max_batch > 1 else None)
 
         if ckpt_path:
             from merlot_tpu.train.checkpoint import CheckpointManager
@@ -109,8 +124,38 @@ class Denoiser:
                 k_prefilter=self.k_prefilter)
         return self._samplers[key]
 
-    def denoise(self, noisyasr: str, target: str = "cleanasr"):
+    def run_batch(self, ctxs: Sequence[Sequence[int]], eos: int
+                  ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """One batched sampler call over several contexts.
+
+        ``prefix_len`` = the min context length over rows (the reference's
+        rule, lm/modeling.py:834-838): the shared prefill never claims
+        tokens a shorter row still needs force-fed, and rows keep
+        force-feeding their own context past the prefix inside the loop.
+        For a single request this is the exact-context prefill the
+        unbatched path always did (one compile per distinct length —
+        cached persistently); context width and batch round up to powers
+        of two, padding with all-pad rows that ``row_valid`` retires
+        immediately. Returns per-row (tokens [max_len], probs [max_len])."""
         import jax
+        min_len = min(len(c) for c in ctxs)
+        max_len0 = max(len(c) for c in ctxs)
+        prefix_len = min(min_len, self.max_len - 16)
+        width = max(_ceil_pow2(max_len0), prefix_len)
+        b = _ceil_pow2(len(ctxs))
+        padded = np.zeros((b, width), np.int32)
+        for i, c in enumerate(ctxs):
+            padded[i, :len(c)] = c
+
+        sampler = self._sampler(prefix_len, eos)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        tokens, probs = sampler(self.params, padded, sub)
+        tokens = np.asarray(tokens)
+        probs = np.asarray(probs)
+        return [(tokens[i], probs[i]) for i in range(len(ctxs))]
+
+    def denoise(self, noisyasr: str, target: str = "cleanasr"):
         tok = self.tok
         ctx = [tok.begin_title] + tok.encode(noisyasr)
         if target == "noisyasr":
@@ -120,25 +165,10 @@ class Denoiser:
             eos = tok.end_article
         ctx = ctx[-self.max_ctx:]
 
-        # bucket prefix lengths to bound recompilation
-        prefix_len = max(8, 1 << (len(ctx) - 1).bit_length())
-        prefix_len = min(prefix_len, self.max_len - 16)
-        padded = np.zeros((1, prefix_len), np.int32)
-        # left-fill actual ctx; pad-forcing begins after prefix
-        if len(ctx) < prefix_len:
-            padded[0, :len(ctx)] = ctx
-            # everything after len(ctx) in the prefix must be generated, so
-            # shrink the prefix to the context instead
-            prefix_len = len(ctx)
-            padded = np.asarray([ctx], np.int32)
+        if self.engine is not None:
+            tokens, probs = self.engine.submit(ctx, eos).result()
         else:
-            padded[0] = ctx[:prefix_len]
-
-        sampler = self._sampler(prefix_len, eos)
-        self._key, sub = jax.random.split(self._key)
-        tokens, probs = sampler(self.params, padded, sub)
-        tokens = np.asarray(tokens[0])
-        probs = np.asarray(probs[0])
+            ((tokens, probs),) = self.run_batch([ctx], eos)
 
         field = "title" if target == "noisyasr" else "article"
         begin = getattr(tok, f"begin_{field}")
@@ -148,6 +178,63 @@ class Denoiser:
         ctx_p = ctx_p[ctx_p > 0]
         ppl = float(np.exp(-np.mean(np.log(ctx_p)))) if len(ctx_p) else float("inf")
         return text, ppl
+
+
+class BatchingEngine:
+    """Dynamic request batching for the serving path.
+
+    The reference serves one request per TF session.run; under concurrent
+    load the chip decodes at batch 1 (~520-840 tok/s) when the same
+    weights-read budget serves batch 8 at ~2522 tok/s aggregate
+    (PERF.md). Handler threads submit (context, eos) and block on a
+    Future; one worker drains the queue, coalescing same-eos requests
+    that arrive within ``window_ms`` (or until ``max_batch``) into one
+    ``run_batch`` call. A lone request pays at most window_ms extra
+    latency — noise next to multi-second generations."""
+
+    def __init__(self, denoiser: "Denoiser", max_batch: int = 8,
+                 window_ms: float = 15.0):
+        self.d = denoiser
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self.calls = 0            # telemetry: batched sampler calls
+        self.requests = 0
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, ctx: Sequence[int], eos: int) -> Future:
+        fut: Future = Future()
+        self.q.put((list(ctx), eos, fut))
+        return fut
+
+    def _worker(self):
+        while True:
+            batch = [self.q.get()]
+            eos = batch[0][1]
+            deadline = time.time() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    item = self.q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if item[1] != eos:
+                    # different generation target (different eos): hand it
+                    # back for the next batch rather than mixing stop rules
+                    self.q.put(item)
+                    break
+                batch.append(item)
+            try:
+                results = self.d.run_batch([c for c, _, _ in batch], eos)
+                for (_, _, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # propagate to every caller
+                for _, _, fut in batch:
+                    fut.set_exception(e)
+            self.calls += 1
+            self.requests += len(batch)
 
 
 def make_handler(denoiser: Denoiser, log_path: str):
@@ -195,13 +282,21 @@ def main(argv=None):
     ap.add_argument("--no_fuse_qkv", action="store_true",
                     help="keep the three separate q/k/v projections "
                          "(fused [H,3H] is bit-identical and default)")
+    ap.add_argument("--batch_window", type=float, default=15.0,
+                    help="dynamic-batching window in ms (0 disables): "
+                         "concurrent requests within the window decode as "
+                         "one batch")
+    ap.add_argument("--max_batch", type=int, default=8,
+                    help="max coalesced requests per sampler call")
     ap.add_argument("--log", default="denoise_log.jsonl")
     args = ap.parse_args(argv)
 
     denoiser = Denoiser(args.config, args.ckpt, max_len=args.max_len,
                         top_p=args.top_p, bf16=args.bf16,
                         k_prefilter=args.k_prefilter, tp=args.tp,
-                        fuse_qkv=not args.no_fuse_qkv)
+                        fuse_qkv=not args.no_fuse_qkv,
+                        batch_window_ms=args.batch_window,
+                        max_batch=args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(denoiser, args.log))
     print(f"READY FOR GENERATION on :{args.port}", flush=True)

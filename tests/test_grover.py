@@ -357,3 +357,59 @@ def test_grover_tp_decode_matches_single_device():
             or "reduce-scatter" in hlo or "collective" in hlo)
     np.testing.assert_allclose(np.asarray(tp_logits),
                                np.asarray(plain_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_denoiser_dynamic_batching(tmp_path):
+    """Concurrent requests coalesce into one batched sampler call: all
+    succeed, and the engine served more requests than sampler calls."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from merlot_tpu.tools.denoise_server import Denoiser, make_handler
+
+    cfg_path = str(tmp_path / "tiny.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"vocab_size": 50270, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 128},
+                  f)
+    # wide window so the CPU-slow first compile can't split the batch
+    den = Denoiser(cfg_path, None, max_len=64, top_p=0.94, max_ctx=32,
+                   batch_window_ms=3000.0, max_batch=4)
+    assert den.engine is not None
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(den, str(tmp_path / "log.jsonl")))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    results, errors = [], []
+
+    def ask(text):
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/ask",
+                data=json.dumps({"noisyasr": text}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                results.append(json.loads(resp.read()))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    try:
+        # different context lengths: the batch takes the min-row prefill
+        # and force-feeds the longer rows' surplus
+        threads = [threading.Thread(
+            target=ask, args=(f"recipe number {i} " + "pasta " * i,))
+            for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert len(results) == 4
+        assert all("gen" in r and "ppl" in r for r in results)
+        # the whole point: fewer sampler calls than requests
+        assert den.engine.requests == 4
+        assert den.engine.calls < 4, (den.engine.calls, den.engine.requests)
+    finally:
+        server.shutdown()

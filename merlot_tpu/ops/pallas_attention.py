@@ -185,27 +185,46 @@ def _fwd_q_block(sq: int, sk: int, hd: int, num_heads: int, in_bytes: int,
 
 def _flash_fwd(q3, k3, v3, mask, *, num_heads: int,
                softmax_fp32: bool, collect_colsum: bool,
-               emit_probs: bool = False):
+               emit_probs: bool = False, budget: Optional[int] = None):
     """q3 [B, Sq, H*D]; k3/v3 [B, Sk, H*D]; mask [B, Sq, Sk] or None.
     emit_probs additionally returns the probs tensor [B, Sq, H, Sk] in
-    sm_dtype — the residual for the saved-probs ('xla_probs') backward."""
+    sm_dtype — the residual for the saved-probs ('xla_probs') backward.
+
+    STACKED-KV convention: v3=None selects it — k3 is then one
+    [B, Sk, 2*H*D] buffer with keys in columns [:H*D] and values in
+    [H*D:] (the serving cache layout; see flash_attention_stacked).
+
+    ``budget`` is the VMEM budget the q-block sizer works against; it
+    MUST match what the caller's ``kernel_supported`` gate used, or the
+    launched kernel's footprint can exceed what the gate approved."""
     b, sq, hd = q3.shape
     sk = k3.shape[1]
     d = hd // num_heads
+    stacked = v3 is None
     sm_dtype = jnp.float32 if softmax_fp32 else q3.dtype
 
     q_blk = _fwd_q_block(sq, sk, hd, num_heads, q3.dtype.itemsize,
                          mask is not None, emit_probs,
-                         jnp.dtype(sm_dtype).itemsize)
+                         jnp.dtype(sm_dtype).itemsize,
+                         budget=budget if budget is not None
+                         else _FWD_VMEM_BUDGET)
     n_qb = _ceil_div(sq, q_blk)
     grid = (b, n_qb)
 
     in_specs = [
         pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
-        pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
-        pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
     ]
-    args = [q3, k3, v3]
+    args = [q3]
+    if stacked:
+        in_specs.append(
+            pl.BlockSpec((1, sk, 2 * hd), lambda bi, qi: (bi, 0, 0)))
+        args.append(k3)
+    else:
+        in_specs.extend([
+            pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0)),
+        ])
+        args.extend([k3, v3])
     if mask is not None:
         in_specs.append(
             pl.BlockSpec((1, q_blk, sk), lambda bi, qi: (bi, qi, 0)))
@@ -228,11 +247,13 @@ def _flash_fwd(q3, k3, v3, mask, *, num_heads: int,
     def kernel(*refs):
         n_in = len(args)
         ins, outs = refs[:n_in], refs[n_in:]
-        m_ref = ins[3] if mask is not None else None
+        k_ref = ins[1]
+        v_ref = None if stacked else ins[2]
+        m_ref = ins[-1] if mask is not None else None
         o_ref = outs[0]
         c_ref = outs[1] if collect_colsum else None
         p_ref = outs[-1] if emit_probs else None
-        _attn_kernel(ins[0], ins[1], ins[2], m_ref, o_ref, c_ref, p_ref,
+        _attn_kernel(ins[0], k_ref, v_ref, m_ref, o_ref, c_ref, p_ref,
                      num_heads=num_heads, d_head=d, scale=1.0 / (d ** 0.5),
                      softmax_fp32=softmax_fp32,
                      collect_colsum=collect_colsum, sq=sq, q_blk=q_blk)
@@ -292,7 +313,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
     row_valid = (jax.lax.broadcasted_iota(
         jnp.int32, (gg.shape[0], 1), 0) + qb * q_blk < sq)  # [q_blk, 1]
 
-    dqs, dks, dvs = [], [], []
+    dqs = []
     for h in range(num_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
         qh, kh, vh, gh = qq[:, sl], kk[:, sl], vv[:, sl], gg[:, sl]
@@ -330,21 +351,24 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         dqs.append(dq_h)
-        dks.append(dk_h)
-        dvs.append(dv_h)
+        # dk/dv accumulate IN the revisited output block, one head-slice at
+        # a time: the head-concat form kept all 24 per-head fp32 temps live
+        # until one big concatenate — (2*Sk_pad*HD*4 ≈ 2.5 MB at the joint
+        # shape) of scoped VMEM that forced q_blk down to 64 there
+        dk_ref[0, :, sl] = dk_ref[0, :, sl] + dk_h
+        dv_ref[0, :, sl] = dv_ref[0, :, sl] + dv_h
 
-    # heads write disjoint column slices; only q-blocks accumulate
+    # dq is written exactly once per program: one full-width store
     dq_ref[0] = jnp.concatenate(dqs, axis=1)
-    dk_ref[0] = dk_ref[0] + jnp.concatenate(dks, axis=1)
-    dv_ref[0] = dv_ref[0] + jnp.concatenate(dvs, axis=1)
 
 
 def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
-                 has_mask: bool, budget: int = 10 << 20) -> int:
+                 has_mask: bool, budget: int = 12 << 20) -> int:
     """Largest q block whose VMEM footprint fits: Mosaic double-buffers
     every in/out block across grid steps (x2), plus the per-head fp32
-    score/prob/dp/ds intermediates and the dq/dk/dv head-concat
-    accumulators live on the program's scoped-VMEM stack.
+    score/prob/dp/ds intermediates and the dq head-concat accumulator
+    live on the program's scoped-VMEM stack (dk/dv accumulate directly
+    in the revisited output block, so they add no concat temps).
 
     All dims are modeled PADDED to the VMEM tiling (lanes to 128,
     sublanes to 8): at ViT shape (Sq=Sk=266) the [q_blk, Sk]
@@ -365,7 +389,7 @@ def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
                   + 2 * sk_rows * hd * 4           # dk + dv outs
                   + (qb * sk_lanes * 4 if has_mask else 0))
         interm = 4 * qb * sk_lanes * 4             # s/p/dp/ds fp32
-        concat = (qb + 2 * sk_rows) * hd * 4       # dq/dk/dv head concats
+        concat = qb * hd * 4                       # dq head concat
         return 2 * blocks + interm + concat
 
     # a block smaller than the dim must be 8-divisible (Mosaic tiling rule)
@@ -440,26 +464,28 @@ def _flash_bwd_pallas(q3, k3, v3, mask, g3, gcol, *, num_heads: int,
 # ----------------------------------------------------------------------
 # custom_vjp wiring
 # ----------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum,
+             budget):
     ctx, colsum, _ = _flash_fwd(q3, k3, v3, mask, num_heads=num_heads,
                                 softmax_fp32=softmax_fp32,
-                                collect_colsum=collect_colsum)
+                                collect_colsum=collect_colsum, budget=budget)
     if colsum is None:
         colsum = jnp.zeros((q3.shape[0], k3.shape[1]), jnp.float32)
     return ctx, colsum
 
 
-def _fwd(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum):
+def _fwd(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum, budget):
     if BWD_MODE == "xla_probs":
         ctx, colsum, probs = _flash_fwd(
             q3, k3, v3, mask, num_heads=num_heads,
             softmax_fp32=softmax_fp32, collect_colsum=collect_colsum,
-            emit_probs=True)
+            emit_probs=True, budget=budget)
         if colsum is None:
             colsum = jnp.zeros((q3.shape[0], k3.shape[1]), jnp.float32)
         return (ctx, colsum), (q3, k3, v3, mask, probs)
-    out = _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum)
+    out = _flash_p(q3, k3, v3, mask, num_heads, softmax_fp32, collect_colsum,
+                   budget)
     return out, (q3, k3, v3, mask, None)
 
 
@@ -525,7 +551,7 @@ def _bwd_xla_probs(q3, k3, v3, mask, probs, g_ctx, g_colsum, *,
             dv.astype(v3.dtype).reshape(b, sk, hd))
 
 
-def _bwd(num_heads, softmax_fp32, collect_colsum, res, grads):
+def _bwd(num_heads, softmax_fp32, collect_colsum, budget, res, grads):
     q3, k3, v3, mask, probs = res
     if probs is not None:  # saved by the 'xla_probs' forward
         g_ctx, g_colsum = grads
@@ -554,23 +580,27 @@ _flash_p.defvjp(_fwd, _bwd)
 # attention_core-compatible entry point
 # ----------------------------------------------------------------------
 def flash_attention(q, k, v, mask, *, collect: str = "none",
-                    softmax_fp32: bool = False
+                    softmax_fp32: bool = False,
+                    budget: Optional[int] = None
                     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """q [B, Sq, H, D]; k/v [B, Sk, H, D]; mask [B, Sq, Sk] (1=attend) or
-    None. Returns (ctx [B, Sq, H, D], colsum [B, Sk] f32 or None)."""
+    None. Returns (ctx [B, Sq, H, D], colsum [B, Sk] f32 or None).
+    ``budget`` (VMEM bytes for the q-block sizer) must match the
+    caller's ``kernel_supported`` gate — e.g. DECODE_VMEM_BUDGET for
+    serving decode steps."""
     assert collect in ("none", "colsum")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     # [B, S, H, D] -> [B, S, H*D] is a free view (contiguous)
     ctx, colsum = _flash_p(q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
                            v.reshape(b, sk, h * d), mask,
-                           h, softmax_fp32, collect == "colsum")
+                           h, softmax_fp32, collect == "colsum", budget)
     return (ctx.reshape(b, sq, h, d),
             colsum if collect == "colsum" else None)
 
 
-def flash_attention_stacked(q, kv, mask, *,
-                            softmax_fp32: bool = False) -> jnp.ndarray:
+def flash_attention_stacked(q, kv, mask, *, softmax_fp32: bool = False,
+                            budget: Optional[int] = None) -> jnp.ndarray:
     """Forward-only attention over a STACKED KV buffer (serving decode).
 
     q [B, Sq, H, D]; kv [B, Sk, 2*H*D] with keys in columns [:H*D] and
@@ -579,46 +609,15 @@ def flash_attention_stacked(q, kv, mask, *,
     operand IS the cache buffer: no layout boundary between the cache
     update and the kernel, which otherwise costs a full cache copy per
     layer per decode step). mask [B, Sq, Sk] (1=attend) or None.
-    Returns ctx [B, Sq, H, D]. Same math as flash_attention; not
-    differentiable (decode is forward-only)."""
+    Returns ctx [B, Sq, H, D]. Same math/launch as flash_attention
+    (_flash_fwd with v3=None); not differentiable (decode is
+    forward-only)."""
     b, sq, h, d = q.shape
-    sk = kv.shape[1]
-    hd = h * d
-    q3 = q.reshape(b, sq, hd)
-
-    q_blk = _fwd_q_block(sq, sk, hd, h, q3.dtype.itemsize,
-                         mask is not None, False, 4,
-                         budget=DECODE_VMEM_BUDGET if sq <= 8
-                         else _FWD_VMEM_BUDGET)
-    grid = (b, _ceil_div(sq, q_blk))
-
-    in_specs = [
-        pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
-        pl.BlockSpec((1, sk, 2 * hd), lambda bi, qi: (bi, 0, 0)),
-    ]
-    args = [q3, kv]
-    if mask is not None:
-        in_specs.append(
-            pl.BlockSpec((1, q_blk, sk), lambda bi, qi: (bi, qi, 0)))
-        args.append(mask.astype(jnp.float32))
-
-    def kernel(*refs):
-        ins, outs = refs[:len(args)], refs[len(args):]
-        m_ref = ins[2] if mask is not None else None
-        _attn_kernel(ins[0], ins[1], None, m_ref, outs[0], None, None,
-                     num_heads=h, d_head=d, scale=1.0 / (d ** 0.5),
-                     softmax_fp32=softmax_fp32, collect_colsum=False,
-                     sq=sq, q_blk=q_blk)
-
-    ctx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, q_blk, hd), lambda bi, qi: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-    )(*args)
+    ctx, _, _ = _flash_fwd(
+        q.reshape(b, sq, h * d), kv, None, mask, num_heads=h,
+        softmax_fp32=softmax_fp32, collect_colsum=False,
+        budget=budget if budget is not None
+        else (DECODE_VMEM_BUDGET if sq <= 8 else _FWD_VMEM_BUDGET))
     return ctx.reshape(b, sq, h, d)
 
 

@@ -141,6 +141,15 @@ class Denoiser:
         min_len = min(len(c) for c in ctxs)
         max_len0 = max(len(c) for c in ctxs)
         prefix_len = min(min_len, self.max_len - 16)
+        if len(ctxs) > 1:
+            # multi-row batches bucket the prefix DOWN (pow2 and 1.5*pow2
+            # rungs, surplus <= ~25% force-fed by the loop like any longer
+            # row): the exact min-over-rows length depends on which
+            # requests happened to coalesce, and each distinct value is a
+            # fresh multi-second sampler compile that stalls the worker
+            p2 = 1 << (max(prefix_len, 1).bit_length() - 1)
+            prefix_len = max(p2 + (p2 >> 1) if p2 + (p2 >> 1) <= prefix_len
+                             else p2, 1)
         width = max(_ceil_pow2(max_len0), prefix_len)
         b = _ceil_pow2(len(ctxs))
         padded = np.zeros((b, width), np.int32)
@@ -208,8 +217,11 @@ class BatchingEngine:
         return fut
 
     def _worker(self):
-        while True:
-            batch = [self.q.get()]
+        carry = None  # a dequeued different-eos request: it SEEDS the next
+        while True:   # batch (re-queueing would send it behind later
+            # arrivals — unbounded displacement under mixed traffic)
+            batch = [carry if carry is not None else self.q.get()]
+            carry = None
             eos = batch[0][1]
             deadline = time.time() + self.window
             while len(batch) < self.max_batch:
@@ -221,9 +233,9 @@ class BatchingEngine:
                 except queue.Empty:
                     break
                 if item[1] != eos:
-                    # different generation target (different eos): hand it
-                    # back for the next batch rather than mixing stop rules
-                    self.q.put(item)
+                    # different generation target (different eos): run it
+                    # FIRST in the next batch rather than mixing stop rules
+                    carry = item
                     break
                 batch.append(item)
             try:

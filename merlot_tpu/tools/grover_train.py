@@ -57,17 +57,31 @@ def main(argv=None):
                           {"weight_decay_rate": 0.0}),)))
 
     if args.pp > 1:
+        import dataclasses
+
         import numpy as np
         from jax.sharding import Mesh
 
         from merlot_tpu.models.grover import grover_pipeline_forward
         assert cfg.num_hidden_layers % args.pp == 0, (
             cfg.num_hidden_layers, args.pp)
+        if cfg.hidden_dropout_prob or cfg.attention_probs_dropout_prob:
+            # the PP path has no per-layer rng plumbing yet; make the
+            # divergence LOUD instead of silently training un-regularized
+            print("WARNING: --pp runs deterministic — dropout "
+                  f"(hidden={cfg.hidden_dropout_prob}, "
+                  f"attn={cfg.attention_probs_dropout_prob}) is DISABLED "
+                  "on the pipeline path", flush=True)
+            cfg = dataclasses.replace(cfg, hidden_dropout_prob=0.0,
+                                      attention_probs_dropout_prob=0.0)
+            model = GroverLM(cfg)
         mesh = Mesh(np.asarray(jax.devices()[:args.pp]), ("stage",))
         num_mb = args.microbatches or 4 * args.pp
         assert args.batch_size % num_mb == 0, (args.batch_size, num_mb)
 
         def loss_fn(params, batch, key):
+            # params arrive in PP form (stack_grover_params, done ONCE
+            # below): stages live one-per-device; no per-step restack
             logits = grover_pipeline_forward(
                 {"params": params}, cfg, batch["input_ids"][:, :-1],
                 mesh=mesh, num_microbatches=num_mb)
@@ -99,6 +113,15 @@ def main(argv=None):
     params = model.init({"params": jax.random.PRNGKey(0),
                          "dropout": jax.random.PRNGKey(1)},
                         first["input_ids"][:, :-1])["params"]
+    if args.pp > 1:
+        # stack the layer subtrees into the PP form ONCE and place one
+        # stage per device; checkpoints are written in this form (convert
+        # with grover.unstack_grover_params)
+        from merlot_tpu.models.grover import (shard_grover_pp_params,
+                                              stack_grover_params)
+        params = shard_grover_pp_params(
+            stack_grover_params({"params": params}, args.pp),
+            mesh)["params"]
     opt_state = jax.jit(optimizer.init)(params)
 
     def stream():

@@ -93,8 +93,13 @@ def test_pipeline_backward_matches_sequential(rng):
 
 def test_grover_pipeline_forward_matches_lm(rng):
     """grover_pipeline_forward == GroverLM.apply logits (training path):
-    the staged stack is the same model, just scheduled over stages."""
-    from merlot_tpu.models.grover import GroverLM, grover_pipeline_forward
+    the staged stack is the same model, just scheduled over stages. Also
+    exercises the PP-form round trip (stack -> unstack) and the one-stage-
+    per-device placement."""
+    from merlot_tpu.models.grover import (GroverLM, grover_pipeline_forward,
+                                          shard_grover_pp_params,
+                                          stack_grover_params,
+                                          unstack_grover_params)
 
     model = GroverLM(CFG)
     ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (B, S)), jnp.int32)
@@ -102,11 +107,22 @@ def test_grover_pipeline_forward_matches_lm(rng):
     logits_ref, _ = jax.jit(lambda v, x: model.apply(v, x))(variables, ids)
 
     mesh = Mesh(np.asarray(jax.devices()[:N_STAGE]), ("stage",))
-    logits_pp = jax.jit(lambda v, x: grover_pipeline_forward(
-        v, CFG, x, mesh=mesh, num_microbatches=M))(variables, ids)
+    pp_vars = shard_grover_pp_params(
+        stack_grover_params(variables, N_STAGE), mesh)
+    # one stage per device
+    leaf = jax.tree_util.tree_leaves(pp_vars["params"]["stages"])[0]
+    assert leaf.addressable_shards[0].data.shape[0] == 1
 
+    logits_pp = jax.jit(lambda v, x: grover_pipeline_forward(
+        v, CFG, x, mesh=mesh, num_microbatches=M))(pp_vars, ids)
     np.testing.assert_allclose(np.asarray(logits_pp), np.asarray(logits_ref),
                                rtol=2e-5, atol=2e-5)
+
+    # PP form round-trips to the standard tree bit-exactly
+    back = unstack_grover_params(pp_vars, CFG.num_hidden_layers)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_grover_train_cli_pp(tmp_path):

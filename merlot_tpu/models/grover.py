@@ -526,7 +526,9 @@ def shard_grover_pp_params(pp_variables, mesh, axis: str = "stage"):
 def grover_pipeline_forward(pp_variables, cfg: GroverConfig,
                             input_ids: jnp.ndarray, *, mesh,
                             num_microbatches: int,
-                            axis: str = "stage") -> jnp.ndarray:
+                            axis: str = "stage",
+                            dropout_rng: Optional[jax.Array] = None
+                            ) -> jnp.ndarray:
     """Training forward with the 24-layer stack PIPELINE-parallel over a
     ``stage`` mesh axis (parallel/pipeline.py GPipe schedule) — the scale
     axis for decoder LMs that outgrow DP+TP memory. Takes the PP-form
@@ -553,11 +555,19 @@ def grover_pipeline_forward(pp_variables, cfg: GroverConfig,
 
     layer = GroverLayer(c)
 
-    def layer_fn(lp, hh):
-        return layer.apply({"params": lp}, hh, mask)[0]
+    if dropout_rng is None:
+        def layer_fn(lp, hh):
+            return layer.apply({"params": lp}, hh, mask)[0]
+    else:
+        # per-(layer, microbatch) keys threaded by the schedule
+        def layer_fn(lp, hh, key):
+            return layer.apply({"params": lp}, hh, mask,
+                               deterministic=False,
+                               rngs={"dropout": key})[0]
 
     h_mb = microbatch(h, num_microbatches)
-    out = pipeline_apply(layer_fn, p["stages"], h_mb, mesh=mesh, axis=axis)
+    out = pipeline_apply(layer_fn, p["stages"], h_mb, mesh=mesh, axis=axis,
+                         rng=dropout_rng)
     out = out.reshape(b, s, c.hidden_size)
     return lm_logits_for_hidden(pp_variables, c, out)
 

@@ -30,7 +30,7 @@ below is independent per data shard.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -67,15 +67,19 @@ def shard_stage_params(stacked, mesh: Mesh, axis: str = "stage"):
                         stacked, stage_param_shardings(stacked, mesh, axis))
 
 
-def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
                    stacked_params, h_mb: jnp.ndarray, *,
-                   mesh: Mesh, axis: str = "stage") -> jnp.ndarray:
+                   mesh: Mesh, axis: str = "stage",
+                   rng: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Run microbatches through the staged layer stack.
 
     Args:
       layer_fn: pure ``(one_layer_params, h) -> h`` (e.g. a flax
         ``module.apply`` closure; anything replicated — masks, position
-        offsets — is closed over).
+        offsets — is closed over). With ``rng`` given the signature is
+        ``(one_layer_params, h, key) -> h`` and each key is unique per
+        (global layer index, microbatch) — dropout and friends work in
+        the pipeline exactly as in a sequential stack.
       stacked_params: output of ``stack_stage_params`` (leaves
         [n_stage, L/n_stage, ...]), placed with ``shard_stage_params``.
       h_mb: [M, mb, ...] microbatched activations, replicated over
@@ -88,17 +92,22 @@ def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     m = h_mb.shape[0]
     ticks = m + n_stage - 1
 
-    def stage_stack(params_stage, h):
+    def stage_stack(params_stage, h, key_mb, per):
         # within-stage layers run as a local scan (same program for every
         # stage — that is what makes the stacked layout legal)
-        def body(hh, one_layer):
-            return layer_fn(one_layer, hh), None
-        out, _ = jax.lax.scan(body, h, params_stage)
+        def body(hh, xs):
+            one_layer, j = xs
+            if rng is None:
+                return layer_fn(one_layer, hh), None
+            return layer_fn(one_layer, hh,
+                            jax.random.fold_in(key_mb, j)), None
+        out, _ = jax.lax.scan(body, h, (params_stage, jnp.arange(per)))
         return out
 
     def per_device(params_local, h_all):
         # params_local leaves [1, per, ...] — this device's stage
         params_stage = jax.tree.map(lambda x: x[0], params_local)
+        per = jax.tree_util.tree_leaves(params_stage)[0].shape[0]
         d = jax.lax.axis_index(axis)
         zero = jnp.zeros_like(h_all[0])
         out_buf = jnp.zeros_like(h_all)
@@ -114,7 +123,17 @@ def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                                   h_all, mb_idx, keepdims=False),
                               zero)
             x_in = jnp.where(d == 0, x_in0, recv)
-            y = stage_stack(params_stage, x_in)
+            key_mb = None
+            if rng is not None:
+                # the microbatch flowing through stage d at tick t is
+                # t - d; folding (microbatch, stage offset, layer) gives
+                # every (layer, microbatch) pair its own key (fill/drain
+                # ticks compute with clipped keys but their outputs are
+                # discarded by the schedule)
+                mb_cur = jnp.clip(t - d, 0, m - 1)
+                key_mb = jax.random.fold_in(
+                    jax.random.fold_in(rng, mb_cur), d * per)
+            y = stage_stack(params_stage, x_in, key_mb, per)
             # the last stage finishes microbatch t - (n_stage - 1)
             done_idx = t - (n_stage - 1)
             store = jnp.logical_and(d == n_stage - 1, done_idx >= 0)

@@ -39,8 +39,8 @@ def main(argv=None):
                     help="pipeline-parallel stages over the first N visible "
                          "devices: the uniform layer stack splits into "
                          "contiguous stages and microbatches stream through "
-                         "a GPipe schedule (parallel/pipeline.py). The PP "
-                         "path runs deterministic (no dropout).")
+                         "a GPipe schedule (parallel/pipeline.py); dropout "
+                         "keys are threaded per (layer, microbatch)")
     ap.add_argument("--microbatches", type=int, default=0,
                     help="GPipe microbatches (default 4*pp; batch_size "
                          "must divide by it)")
@@ -57,34 +57,24 @@ def main(argv=None):
                           {"weight_decay_rate": 0.0}),)))
 
     if args.pp > 1:
-        import dataclasses
-
         import numpy as np
         from jax.sharding import Mesh
 
         from merlot_tpu.models.grover import grover_pipeline_forward
         assert cfg.num_hidden_layers % args.pp == 0, (
             cfg.num_hidden_layers, args.pp)
-        if cfg.hidden_dropout_prob or cfg.attention_probs_dropout_prob:
-            # the PP path has no per-layer rng plumbing yet; make the
-            # divergence LOUD instead of silently training un-regularized
-            print("WARNING: --pp runs deterministic — dropout "
-                  f"(hidden={cfg.hidden_dropout_prob}, "
-                  f"attn={cfg.attention_probs_dropout_prob}) is DISABLED "
-                  "on the pipeline path", flush=True)
-            cfg = dataclasses.replace(cfg, hidden_dropout_prob=0.0,
-                                      attention_probs_dropout_prob=0.0)
-            model = GroverLM(cfg)
         mesh = Mesh(np.asarray(jax.devices()[:args.pp]), ("stage",))
         num_mb = args.microbatches or 4 * args.pp
         assert args.batch_size % num_mb == 0, (args.batch_size, num_mb)
 
         def loss_fn(params, batch, key):
             # params arrive in PP form (stack_grover_params, done ONCE
-            # below): stages live one-per-device; no per-step restack
+            # below): stages live one-per-device; no per-step restack.
+            # dropout keys are threaded per (layer, microbatch) by the
+            # pipeline schedule.
             logits = grover_pipeline_forward(
                 {"params": params}, cfg, batch["input_ids"][:, :-1],
-                mesh=mesh, num_microbatches=num_mb)
+                mesh=mesh, num_microbatches=num_mb, dropout_rng=key)
             return grover_lm_loss(logits, batch["input_ids"][:, :-1],
                                   batch["is_target"][:, 1:],
                                   pad_token_id=cfg.pad_token_id,

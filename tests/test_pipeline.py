@@ -151,3 +151,36 @@ def test_grover_train_cli_pp(tmp_path):
         "--checkpoint_every", "3", "--pp", "2", "--microbatches", "2"])
     import os
     assert os.path.isdir(os.path.join(out, "checkpoints"))
+
+
+def test_pipeline_dropout_rng(rng):
+    """Dropout works through the schedule: keys are per (layer,
+    microbatch), reproducible for the same rng, different across rngs,
+    and rng=None stays deterministic."""
+    import dataclasses
+
+    from merlot_tpu.models.grover import (GroverLM, grover_pipeline_forward,
+                                          stack_grover_params)
+
+    cfg = dataclasses.replace(CFG, hidden_dropout_prob=0.3)
+    model = GroverLM(cfg)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, S)), jnp.int32)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(9)},
+        ids)
+    mesh = Mesh(np.asarray(jax.devices()[:N_STAGE]), ("stage",))
+    pp_vars = stack_grover_params(variables, N_STAGE)
+
+    f = jax.jit(lambda v, x, k: grover_pipeline_forward(
+        v, cfg, x, mesh=mesh, num_microbatches=M, dropout_rng=k))
+    a1 = np.asarray(f(pp_vars, ids, jax.random.PRNGKey(1)))
+    a2 = np.asarray(f(pp_vars, ids, jax.random.PRNGKey(1)))
+    b1 = np.asarray(f(pp_vars, ids, jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(a1, a2)
+    assert np.abs(a1 - b1).max() > 1e-3  # dropout actually fired
+
+    g = jax.jit(lambda v, x: grover_pipeline_forward(
+        v, cfg, x, mesh=mesh, num_microbatches=M))
+    d1 = np.asarray(g(pp_vars, ids))
+    d2 = np.asarray(g(pp_vars, ids))
+    np.testing.assert_array_equal(d1, d2)

@@ -313,7 +313,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
     row_valid = (jax.lax.broadcasted_iota(
         jnp.int32, (gg.shape[0], 1), 0) + qb * q_blk < sq)  # [q_blk, 1]
 
-    dqs = []
+    dqs, dks, dvs = [], [], []
     for h in range(num_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
         qh, kh, vh, gh = qq[:, sl], kk[:, sl], vv[:, sl], gg[:, sl]
@@ -351,24 +351,21 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         dqs.append(dq_h)
-        # dk/dv accumulate IN the revisited output block, one head-slice at
-        # a time: the head-concat form kept all 24 per-head fp32 temps live
-        # until one big concatenate — (2*Sk_pad*HD*4 ≈ 2.5 MB at the joint
-        # shape) of scoped VMEM that forced q_blk down to 64 there
-        dk_ref[0, :, sl] = dk_ref[0, :, sl] + dk_h
-        dv_ref[0, :, sl] = dv_ref[0, :, sl] + dv_h
+        dks.append(dk_h)
+        dvs.append(dv_h)
 
-    # dq is written exactly once per program: one full-width store
+    # heads write disjoint column slices; only q-blocks accumulate
     dq_ref[0] = jnp.concatenate(dqs, axis=1)
+    dk_ref[0] = dk_ref[0] + jnp.concatenate(dks, axis=1)
+    dv_ref[0] = dv_ref[0] + jnp.concatenate(dvs, axis=1)
 
 
 def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
-                 has_mask: bool, budget: int = 12 << 20) -> int:
+                 has_mask: bool, budget: int = 10 << 20) -> int:
     """Largest q block whose VMEM footprint fits: Mosaic double-buffers
     every in/out block across grid steps (x2), plus the per-head fp32
-    score/prob/dp/ds intermediates and the dq head-concat accumulator
-    live on the program's scoped-VMEM stack (dk/dv accumulate directly
-    in the revisited output block, so they add no concat temps).
+    score/prob/dp/ds intermediates and the dq/dk/dv head-concat
+    accumulators live on the program's scoped-VMEM stack.
 
     All dims are modeled PADDED to the VMEM tiling (lanes to 128,
     sublanes to 8): at ViT shape (Sq=Sk=266) the [q_blk, Sk]
@@ -389,7 +386,7 @@ def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
                   + 2 * sk_rows * hd * 4           # dk + dv outs
                   + (qb * sk_lanes * 4 if has_mask else 0))
         interm = 4 * qb * sk_lanes * 4             # s/p/dp/ds fp32
-        concat = qb * hd * 4                       # dq head concat
+        concat = (qb + 2 * sk_rows) * hd * 4       # dq/dk/dv head concats
         return 2 * blocks + interm + concat
 
     # a block smaller than the dim must be 8-divisible (Mosaic tiling rule)

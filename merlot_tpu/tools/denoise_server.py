@@ -95,6 +95,12 @@ class Denoiser:
             import orbax.checkpoint as ocp
             state = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
             self.params = {"params": state.get("params", state)}
+            if "stages" in self.params["params"]:
+                # checkpoint written by a pipeline-parallel training run
+                # (grover_train --pp): stages -> layer{i:02d} subtrees
+                from merlot_tpu.models.grover import unstack_grover_params
+                self.params = unstack_grover_params(
+                    self.params, self.cfg.num_hidden_layers)
         else:  # random weights (smoke/serving-harness tests)
             import jax.numpy as jnp
             ids = jnp.zeros((1, 8), jnp.int32)
@@ -141,12 +147,16 @@ class Denoiser:
         min_len = min(len(c) for c in ctxs)
         max_len0 = max(len(c) for c in ctxs)
         prefix_len = min(min_len, self.max_len - 16)
-        if len(ctxs) > 1:
-            # multi-row batches bucket the prefix DOWN (pow2 and 1.5*pow2
-            # rungs, surplus <= ~25% force-fed by the loop like any longer
-            # row): the exact min-over-rows length depends on which
-            # requests happened to coalesce, and each distinct value is a
-            # fresh multi-second sampler compile that stalls the worker
+        if self.engine is not None:
+            # under the batching engine bucket the prefix DOWN (pow2 and
+            # 1.5*pow2 rungs; the surplus — worst case ~1/3 of the prefix,
+            # just under a rung boundary — is force-fed by the loop like
+            # any longer row): every distinct prefix length is a fresh
+            # multi-second sampler compile inside the single worker
+            # thread, stalling every queued request — single-row batches
+            # under serial load included. With the engine off (offline
+            # tools), exact-prefix compiles-per-length is the old
+            # contract and prefill stays maximal.
             p2 = 1 << (max(prefix_len, 1).bit_length() - 1)
             prefix_len = max(p2 + (p2 >> 1) if p2 + (p2 >> 1) <= prefix_len
                              else p2, 1)

@@ -439,3 +439,37 @@ def test_denoiser_stats_endpoint(tmp_path):
         assert out["sampler_calls"] == 0 and out["top_p"] == 0.94
     finally:
         server.shutdown()
+
+
+def test_denoiser_loads_pp_checkpoint(tmp_path):
+    """A checkpoint written by a pipeline-parallel training run (stacked
+    'stages' form) loads transparently into the serving path."""
+    import orbax.checkpoint as ocp
+
+    from merlot_tpu.models.grover import stack_grover_params
+    from merlot_tpu.tools.denoise_server import Denoiser
+
+    cfg_path = str(tmp_path / "tiny.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"vocab_size": 50270, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 128},
+                  f)
+    model = GroverLM(GroverConfig(
+        vocab_size=50270, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=128))
+    ids = jnp.zeros((1, 8), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+    pp = stack_grover_params(variables, 2)
+    ckpt = tmp_path / "ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt), {"params": jax.device_get(pp["params"])})
+    ckptr.wait_until_finished()
+
+    den = Denoiser(cfg_path, str(ckpt), max_len=64, max_ctx=32,
+                   batch_window_ms=0.0)
+    assert "layer00" in den.params["params"]
+    assert "stages" not in den.params["params"]
+    text, ppl = den.denoise("check the weather")
+    assert isinstance(text, str) and np.isfinite(ppl) or ppl == float("inf")

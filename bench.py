@@ -313,7 +313,48 @@ def _apply_backend_knobs():
         _pgn.TRAIN_BACKEND = os.environ["BENCH_GN"]
 
 
+def _wait_for_device(max_wait_s: int = 1800, attempt_s: int = 300) -> None:
+    """Block until the TPU answers a trivial op, retrying bounded probes.
+
+    The axon tunnel can wedge for a long stretch (a TPU process killed
+    mid-run — CLAUDE.md); while wedged, jax device init in THIS process
+    would hang indefinitely and the whole bench run records nothing.
+    Probing in a subprocess with a timeout keeps this process clean, and
+    retrying converts 'driver happened to bench during a wedge' into
+    'bench starts as soon as the device returns'. Raises after
+    max_wait_s so the failure is a clear message, not a silent hang."""
+    import subprocess
+    import time as _t
+    probe = ("import jax, jax.numpy as jnp;"
+             "jax.config.update('jax_compilation_cache_dir','/tmp/jax_cache');"
+             "x = jnp.ones((8, 8), jnp.bfloat16);"
+             "print(float((x @ x).reshape(-1)[0]))")
+    deadline = _t.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=attempt_s)
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"device answered on probe {attempt}")
+                return
+            log(f"device probe {attempt} failed rc={r.returncode}: "
+                f"{r.stderr.decode(errors='replace')[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe {attempt} timed out after {attempt_s}s "
+                "(tunnel wedged?)")
+        if _t.time() >= deadline:
+            raise RuntimeError(
+                f"TPU unreachable after {max_wait_s}s of probing — "
+                "not emitting a metric for a dead device")
+        _t.sleep(30)
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_NO_DEVICE_WAIT") != "1":
+        _wait_for_device()
     _apply_backend_knobs()
     _mode = os.environ.get("BENCH_MODE")
     if _mode == "vit":

@@ -93,12 +93,12 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     fusable = collect != "probs" and dropout_rate == 0.0
     if backend == "auto":
-        # XLA by default: in TRAINING the v2 kernel's recompute backward
-        # still costs slightly more than its forward win (233 vs 239
-        # seg/s/chip end-to-end), while XLA's saved-probs backward is
-        # cheaper at these lengths. Inference drivers use
-        # inference_backend() -> 'pallas' (ViT encode 1240 -> 1530
-        # frames/s, +23%).
+        # 'auto' = XLA. Call sites pick per path: training uses
+        # training_backend() -> 'vit_pallas' (fused fwd+bwd kernel in the
+        # ViT tower, XLA in joint/lang where the saved-probs backward
+        # still wins — 239.6 -> 255.0 seg/s/chip, PERF.md round 3);
+        # inference drivers use inference_backend() -> 'pallas'
+        # everywhere (ViT encode +23%, zero-shot +77%, VCR eval 2.9x).
         backend = "xla"
 
     if backend == "pallas" and fusable:

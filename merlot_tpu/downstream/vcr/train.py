@@ -65,7 +65,9 @@ def main(argv=None):
     opt_state = jax.jit(optimizer.init)(params)
 
     init_ckpt = config.model.get("init_checkpoint")
-    if init_ckpt:
+    if init_ckpt and trainer.ckpt.latest_step() is None:
+        # warm start only on a FRESH run; a crash-resumed run below must
+        # keep its own trained weights
         from merlot_tpu.train.checkpoint import warm_start
         import orbax.checkpoint as ocp
         import os
@@ -73,6 +75,8 @@ def main(argv=None):
         src_params = src.get("params", src)
         # pretrain tree roots at 'merlot/...' just like VCRModel's
         params, _ = warm_start(params, src_params)
+    # crash/preemption recovery from this output_dir's latest checkpoint
+    params, opt_state = trainer.resume_or(params, opt_state)
 
     def stream():
         yield first

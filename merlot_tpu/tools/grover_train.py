@@ -104,15 +104,28 @@ def main(argv=None):
                          "dropout": jax.random.PRNGKey(1)},
                         first["input_ids"][:, :-1])["params"]
     if args.pp > 1:
-        # stack the layer subtrees into the PP form ONCE and place one
-        # stage per device; checkpoints are written in this form (convert
-        # with grover.unstack_grover_params)
+        # stack the layer subtrees into the PP form ONCE; checkpoints are
+        # written in this form (the serving loader unstacks transparently;
+        # manual conversion via grover.unstack_grover_params)
         from merlot_tpu.models.grover import (shard_grover_pp_params,
                                               stack_grover_params)
-        params = shard_grover_pp_params(
-            stack_grover_params({"params": params}, args.pp),
-            mesh)["params"]
+        params = stack_grover_params({"params": params}, args.pp)["params"]
     opt_state = jax.jit(optimizer.init)(params)
+    # crash/preemption recovery: resume from this output_dir's latest
+    # checkpoint when one exists (templates above define the tree); THEN
+    # place — restore returns host arrays, and mixing restored-unplaced
+    # with placed trees trips jit's device check
+    params, opt_state = trainer.resume_or(params, opt_state)
+    if args.pp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def place(tree):
+            return shard_grover_pp_params({"params": tree}, mesh)["params"]
+        params = place(params)
+        opt_state = {"step": jax.device_put(
+                         opt_state["step"],
+                         NamedSharding(mesh, PartitionSpec())),
+                     "m": place(opt_state["m"]), "v": place(opt_state["v"])}
 
     def stream():
         yield first

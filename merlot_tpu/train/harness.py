@@ -65,10 +65,7 @@ class Trainer:
         params, opt_state = init_train_state(self.model, self.optimizer,
                                              example_batch, seed=self.seed)
         if latest is not None:
-            print(f"restoring checkpoint at step {latest}")
-            state = self.ckpt.restore(latest,
-                                      {"params": params, "opt_state": opt_state})
-            params, opt_state = state["params"], state["opt_state"]
+            params, opt_state = self.resume_or(params, opt_state)
         elif init_checkpoint:
             print(f"warm starting from {init_checkpoint}")
             import orbax.checkpoint as ocp
@@ -81,6 +78,21 @@ class Trainer:
             params = shard_params(params, self.mesh)
             opt_state = shard_opt_state(opt_state, self.mesh)
         return params, opt_state
+
+    def resume_or(self, params, opt_state):
+        """Restore the latest checkpoint into the given (params, opt_state)
+        TEMPLATES if one exists, else return them unchanged — the
+        crash/preemption recovery hook for CLIs that build their own init
+        state (grover_train, vcr.train) instead of using init_state.
+        Callers applying a warm start must skip it when
+        ``self.ckpt.latest_step()`` is not None (resume wins)."""
+        latest = self.ckpt.latest_step()
+        if latest is None:
+            return params, opt_state
+        print(f"restoring checkpoint at step {latest}")
+        state = self.ckpt.restore(latest,
+                                  {"params": params, "opt_state": opt_state})
+        return state["params"], state["opt_state"]
 
     # ------------------------------------------------------------------
     def run(self, params, opt_state, batches: Iterator[Dict[str, Any]],

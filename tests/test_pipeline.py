@@ -184,3 +184,34 @@ def test_pipeline_dropout_rng(rng):
     d1 = np.asarray(g(pp_vars, ids))
     d2 = np.asarray(g(pp_vars, ids))
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_grover_train_resumes_from_checkpoint(tmp_path, capsys):
+    """Crash/preemption recovery: a second grover_train invocation on the
+    same output_dir resumes from the latest checkpoint instead of
+    restarting at step 0 (also covers the --pp checkpoint form)."""
+    from merlot_tpu.tools.grover_data import write_lm_shard
+    from merlot_tpu.tools import grover_train
+
+    cfg_path = str(tmp_path / "tiny.json")
+    with open(cfg_path, "w") as f:
+        import json
+        json.dump({"vocab_size": 1024, "hidden_size": 32,
+                   "num_hidden_layers": 4, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 64,
+                   "hidden_dropout_prob": 0.0}, f)
+    shard = str(tmp_path / "train-00.tfrecord")
+    seq_rng = np.random.default_rng(0)
+    seqs = [seq_rng.integers(3, 1024, 34).tolist() for _ in range(8)]
+    write_lm_shard(shard, seqs, seq_length=33)
+    out = str(tmp_path / "out")
+    common = ["--config", cfg_path, "--train_files", shard,
+              "--output_dir", out, "--seq_length", "33", "--batch_size",
+              "4", "--num_warmup_steps", "0", "--learning_rate", "1e-3",
+              "--checkpoint_every", "2", "--pp", "2", "--microbatches", "2"]
+    grover_train.main(common + ["--num_train_steps", "2"])
+    capsys.readouterr()
+    grover_train.main(common + ["--num_train_steps", "4"])
+    text = capsys.readouterr().out
+    assert "restoring checkpoint at step 2" in text
+    assert "trained 2 steps" in text  # 2->4, not 0->4

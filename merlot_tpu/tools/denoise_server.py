@@ -91,7 +91,6 @@ class Denoiser:
                        if batch_window_ms > 0 and max_batch > 1 else None)
 
         if ckpt_path:
-            from merlot_tpu.train.checkpoint import CheckpointManager
             import orbax.checkpoint as ocp
             state = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
             self.params = {"params": state.get("params", state)}

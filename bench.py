@@ -257,7 +257,7 @@ def main():
             params, opt_state = init_train_state(model, optimizer, batch)
             log(f"  init: {time.time() - t0:.1f}s")
             # default None -> ops.attention.training_backend()
-            # (vit_pallas on TPU, the measured-best config)
+            # ('pallas' in every tower on TPU, the measured-best config)
             step_fn = make_train_step(
                 model, optimizer,
                 attn_backend=os.environ.get("BENCH_ATTN") or None)

@@ -139,11 +139,12 @@ class MerlotPretrainModel(nn.Module):
                  collect_attention: str = "none",
                  attn_backend: str = "auto"):
         cfg = self.cfg
-        # per-tower splits: 'vit_pallas' = pallas attention in the ViT
-        # tower only (the training default on TPU, PERF.md round 3);
-        # 'vitlang_pallas' additionally runs the lang-only tower (colsum
-        # collect) on the kernel while the joint tower stays XLA — the
-        # tower where XLA's saved-probs backward still wins
+        # per-tower splits (the training default on TPU is now plain
+        # 'pallas' in every tower — the backward's VMEM diet flipped the
+        # joint tower, PERF.md round 3): 'vit_pallas' = pallas attention
+        # in the ViT tower only; 'vitlang_pallas' additionally runs the
+        # lang-only tower (colsum collect) on the kernel while the joint
+        # tower stays XLA
         backend_vit = backend_lang = None
         if attn_backend == "vit_pallas":
             attn_backend, backend_vit = "auto", "pallas"

@@ -53,16 +53,20 @@ def inference_backend() -> str:
 def training_backend() -> str:
     """Preferred backend for TRAINING (grad) paths.
 
-    On TPU: 'vit_pallas' — the fused pallas forward+backward in the ViT
-    tower (the other towers stay XLA; running them on pallas too measured
-    a wash, 255.2 vs 255.0). End-to-end pretrain step 239.6 -> 255.0
-    seg/s/chip (+6.4%, PERF.md round 3). This deploys the backward kernel
-    that round 2 believed uncompilable: its 'compile helper HTTP 500' was
-    a Mosaic scoped-vmem OOM from an unpadded q-block estimate
-    (pallas_attention._bwd_q_block), not a helper bug. Off TPU: 'auto'
-    (XLA) — pallas kernels only compile on TPU."""
+    On TPU: 'pallas' — the fused pallas forward+backward in EVERY tower.
+    The backward's VMEM diet (per-head slice accumulation into the
+    output blocks, no head-concat temps — pallas_attention._bwd_q_block)
+    bought whole-Sq ViT q-blocks and q_blk 128 in the masked joint
+    tower, flipping the one tower where XLA's saved-probs backward
+    previously won: same-session tower fwd+bwd A/B (ms) vit 239.7 ->
+    171.6, joint 111.0 -> 72.8, lang 29.7 -> 26.5; end-to-end pretrain
+    step 254.9 -> 271.7 seg/s/chip (PERF.md round 3). This deploys the
+    backward kernel that round 2 believed uncompilable: its 'compile
+    helper HTTP 500' was a Mosaic scoped-vmem OOM from an unpadded
+    q-block estimate, not a helper bug. Off TPU: 'auto' (XLA) — pallas
+    kernels only compile on TPU."""
     if jax.default_backend() in ("tpu", "axon"):
-        return "vit_pallas"
+        return "pallas"
     return "auto"
 
 
@@ -94,11 +98,11 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fusable = collect != "probs" and dropout_rate == 0.0
     if backend == "auto":
         # 'auto' = XLA. Call sites pick per path: training uses
-        # training_backend() -> 'vit_pallas' (fused fwd+bwd kernel in the
-        # ViT tower, XLA in joint/lang where the saved-probs backward
-        # still wins — 239.6 -> 255.0 seg/s/chip, PERF.md round 3);
-        # inference drivers use inference_backend() -> 'pallas'
-        # everywhere (ViT encode +23%, zero-shot +77%, VCR eval 2.9x).
+        # training_backend() -> 'pallas' (fused fwd+bwd kernel in every
+        # tower since the backward's VMEM diet — 254.9 -> 271.7
+        # seg/s/chip, PERF.md round 3); inference drivers use
+        # inference_backend() -> 'pallas' everywhere (ViT encode +23%,
+        # zero-shot +77%, VCR eval 2.9x).
         backend = "xla"
 
     if backend == "pallas" and fusable:

@@ -27,11 +27,12 @@ Measured (v5e, 128 frames x S=266 x 12 heads x 64): ViT tower forward
 
 Backward: a fused pallas kernel in the same style (recompute probs in
 VMEM, dK/dV accumulated across q-block grid steps in revisited fp32
-blocks, VMEM-budgeted q-block sizes). Beats XLA standalone at every tower
-shape (ViT fwd+bwd 6.5 vs 8.25 ms); in TRAINING it is blocked by this
-environment's remote compile helper, which crashes on any pallas call
-inside the full-model grad program (PERF.md) — so 'auto' keeps XLA for
-training while every inference path defaults to this kernel.
+blocks, VMEM-budgeted q-block sizes, per-head slice writes into the
+output blocks so no head-concat temps sit on the scoped-VMEM stack).
+Ships as the TRAINING default in every tower (training_backend() ->
+'pallas'): same-session tower fwd+bwd A/B vit 239.7 -> 171.6 ms, joint
+111.0 -> 72.8, lang 29.7 -> 26.5; full pretrain step 254.9 -> 271.7
+seg/s/chip (PERF.md round 3).
 """
 
 from __future__ import annotations
@@ -50,10 +51,11 @@ _COLSUM_SUBLANES = 8  # replicated rows so the colsum block is (8, lanes)
 MAX_KERNEL_SEQ = 2048  # VMEM budget guard; longer sequences fall back to XLA
 
 # Backward implementation, consulted at trace time:
-#   'pallas'        — the fused backward kernel (fastest; this environment's
-#                     remote compile helper crashes when MANY instances sit
-#                     in one full-model grad program, so training paths that
-#                     hit that use the next mode)
+#   'pallas'        — the fused backward kernel (fastest; the shipping
+#                     training default in every tower — the round-2
+#                     "crashes in full-model grad programs" was a Mosaic
+#                     scoped-vmem OOM, fixed by padded-shape q-block
+#                     sizing + the VMEM diet)
 #   'xla_probs'     — the forward kernel EMITS the probs tensor (exactly what
 #                     XLA's own backward saves), and the backward is pure XLA
 #                     einsums with no recompute: the kernel's forward win
@@ -292,7 +294,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
       dQ  = dS_masked K;   dK += dS_masked^T Q
 
     dK/dV accumulate across q-block grid steps in revisited fp32 output
-    blocks (zeroed at qb == 0)."""
+    blocks (zeroed at qb == 0). Per-head results are written/accumulated
+    DIRECTLY into the output blocks' column slices — no dq/dk/dv
+    head-concat temps on the scoped-VMEM stack (the 'VMEM diet': ~2.5 MB
+    saved at the joint shape, which is what buys q_blk 64->128 there and
+    whole-Sq blocks for the ViT tower)."""
     qb = pl.program_id(1)
     qq = q_ref[0]
     kk = k_ref[0]
@@ -313,7 +319,6 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
     row_valid = (jax.lax.broadcasted_iota(
         jnp.int32, (gg.shape[0], 1), 0) + qb * q_blk < sq)  # [q_blk, 1]
 
-    dqs, dks, dvs = [], [], []
     for h in range(num_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
         qh, kh, vh, gh = qq[:, sl], kk[:, sl], vv[:, sl], gg[:, sl]
@@ -350,31 +355,31 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
         dk_h = jax.lax.dot_general(ds, qh32,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        dqs.append(dq_h)
-        dks.append(dk_h)
-        dvs.append(dv_h)
-
-    # heads write disjoint column slices; only q-blocks accumulate
-    dq_ref[0] = jnp.concatenate(dqs, axis=1)
-    dk_ref[0] = dk_ref[0] + jnp.concatenate(dks, axis=1)
-    dv_ref[0] = dv_ref[0] + jnp.concatenate(dvs, axis=1)
+        # heads own disjoint column slices of the fp32 output blocks;
+        # write/accumulate there directly (no head-concat temps in VMEM)
+        dq_ref[0, :, sl] = dq_h
+        dk_ref[0, :, sl] = dk_ref[0, :, sl] + dk_h
+        dv_ref[0, :, sl] = dv_ref[0, :, sl] + dv_h
 
 
 def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
-                 has_mask: bool, budget: int = 10 << 20) -> int:
+                 has_mask: bool, budget: int = 12 << 20) -> int:
     """Largest q block whose VMEM footprint fits: Mosaic double-buffers
     every in/out block across grid steps (x2), plus the per-head fp32
-    score/prob/dp/ds intermediates and the dq/dk/dv head-concat
-    accumulators live on the program's scoped-VMEM stack.
+    score/prob/dp/ds intermediates on the program's scoped-VMEM stack
+    (per-head dq/dk/dv land directly in output-block slices — the VMEM
+    diet — so there are no head-concat temps to model).
 
     All dims are modeled PADDED to the VMEM tiling (lanes to 128,
     sublanes to 8): at ViT shape (Sq=Sk=266) the [q_blk, Sk]
     intermediates really occupy [272, 384]. The unpadded estimate
-    admitted q_blk=266, whose true stack is 17.11 M > the 16 M scoped
-    limit — the previously-undiagnosed 'compile helper HTTP 500, no
-    detail' for every grad program containing this kernel (PERF.md
-    round 3). Budget is set below the hard limit to absorb what the
-    model still cannot see (per-head masked copies, Mosaic spills)."""
+    admitted q_blk=266 with head-concat temps, whose true stack was
+    17.11 M > the 16 M scoped limit — the previously-undiagnosed
+    'compile helper HTTP 500, no detail' for every grad program
+    containing this kernel (PERF.md round 3). Budget is set below the
+    hard limit to absorb what the model still cannot see (per-head
+    masked copies, Mosaic spills); 12 MB + the diet is chip-validated
+    at q_blk=266 whole-Sq ViT blocks and q_blk=128 joint blocks."""
     sk_rows = -(-sk // 8) * 8                      # sublane-padded k rows
     sk_lanes = -(-sk // 128) * 128                 # lane-padded scores dim
 
@@ -386,8 +391,7 @@ def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
                   + 2 * sk_rows * hd * 4           # dk + dv outs
                   + (qb * sk_lanes * 4 if has_mask else 0))
         interm = 4 * qb * sk_lanes * 4             # s/p/dp/ds fp32
-        concat = (qb + 2 * sk_rows) * hd * 4       # dq/dk/dv head concats
-        return 2 * blocks + interm + concat
+        return 2 * blocks + interm
 
     # a block smaller than the dim must be 8-divisible (Mosaic tiling rule)
     if sq <= 512 and est(sq) <= budget:

@@ -182,18 +182,22 @@ def test_flash_random_shapes_property(rng, seed):
 
 
 def test_bwd_q_block_respects_padded_vmem():
-    """Regression guard for the round-3 scoped-vmem fix: the backward
-    q-block sizer must model VMEM tiling (lanes pad to 128, sublanes to
-    8). At the ViT training shape (Sq=Sk=266, H*D=768, bf16) the unpadded
-    estimate admitted q_blk=266, whose true stack is 17.11 MB > the 16 MB
-    Mosaic scoped limit — every grad program containing the kernel then
-    died as an opaque 'compile helper HTTP 500'. q_blk=128 compiles and
-    runs (PERF.md round 3); anything above it must stay rejected."""
+    """Regression guard for the round-3 scoped-vmem fix + VMEM diet: the
+    backward q-block sizer must model VMEM tiling (lanes pad to 128,
+    sublanes to 8). The unpadded estimate once admitted a q_blk=266 ViT
+    block whose true stack (with head-concat temps) was 17.11 MB > the
+    16 MB Mosaic scoped limit — every grad program containing the kernel
+    then died as an opaque 'compile helper HTTP 500'. With the diet
+    (per-head slice accumulation, no concat temps) the chip-validated
+    picks are whole-Sq for ViT and 128 for the masked joint tower
+    (PERF.md round 3); anything above those must stay rejected."""
     from merlot_tpu.ops.pallas_attention import _bwd_q_block
 
-    # ViT tower (no mask): must choose a strict sub-block, at most 128
-    assert _bwd_q_block(266, 266, 768, 2, has_mask=False) <= 128
-    # joint tower (masked, S=396): at most 128 for the same reason
-    assert _bwd_q_block(396, 396, 768, 2, has_mask=True) <= 128
+    # ViT tower (no mask): the diet admits the whole-Sq block (one grid
+    # step per image) — padded est ~9.6 MB vs the 12 MB budget
+    assert _bwd_q_block(266, 266, 768, 2, has_mask=False) == 266
+    # joint tower (masked, S=396): 128, NOT more (padded est exceeds the
+    # budget above 128; 256 would also blow the 16 MB scoped limit)
+    assert _bwd_q_block(396, 396, 768, 2, has_mask=True) == 128
     # tiny test shapes keep the whole-Sq fast path (interpret-mode tests)
     assert _bwd_q_block(48, 48, 64, 4, has_mask=True) == 48

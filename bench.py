@@ -269,15 +269,16 @@ def main():
             log(f"  compile+first step: {time.time() - t0:.1f}s "
                 f"loss={float(metrics['loss']):.3f}")
 
-            # warm
+            # warm (host-transfer sync: block_until_ready is a no-op over
+            # the axon tunnel — CLAUDE.md; this must complete before t0)
             params, opt_state, metrics = step_fn(params, opt_state, batch, key)
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])
 
             n_steps = 8
             t0 = time.time()
             for _ in range(n_steps):
                 params, opt_state, metrics = step_fn(params, opt_state, batch, key)
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])
             dt = time.time() - t0
             segments = batch_size * num_chunks * n_steps
             value = segments / dt

@@ -362,6 +362,37 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
         dv_ref[0, :, sl] = dv_ref[0, :, sl] + dv_h
 
 
+_BWD_SCOPED_LIMIT = 16 << 20  # Mosaic's hard scoped-VMEM ceiling
+
+
+def _bwd_vmem_est(q_blk: int, sk: int, hd: int, in_bytes: int,
+                  has_mask: bool) -> int:
+    """Backward-kernel VMEM footprint for one q-block. All dims modeled
+    PADDED to the VMEM tiling (lanes to 128, sublanes to 8): at ViT shape
+    (Sq=Sk=266) the [q_blk, Sk] intermediates really occupy [272, 384]."""
+    sk_rows = -(-sk // 8) * 8                      # sublane-padded k rows
+    sk_lanes = -(-sk // 128) * 128                 # lane-padded scores dim
+    qb = -(-q_blk // 8) * 8
+    blocks = (qb * hd * in_bytes * 2               # q + g in
+              + 2 * sk_rows * hd * in_bytes        # k + v in
+              + qb * hd * 4                        # dq out
+              + 2 * sk_rows * hd * 4               # dk + dv outs
+              + (qb * sk_lanes * 4 if has_mask else 0))
+    interm = 4 * qb * sk_lanes * 4                 # s/p/dp/ds fp32
+    return 2 * blocks + interm
+
+
+def bwd_kernel_fits(sq: int, sk: int, hd: int, in_bytes: int,
+                    has_mask: bool) -> bool:
+    """True iff the fused pallas backward fits scoped VMEM at its SMALLEST
+    q-block. The k/v/dk/dv blocks span the full key length, so a long-sk
+    call can exceed the 16 MB limit at any q-block size (hd=768 bf16
+    masked crosses it around sk~900); _bwd routes those to the XLA
+    recompute backward instead of failing at Mosaic compile time."""
+    return _bwd_vmem_est(min(sq, 64), sk, hd, in_bytes,
+                         has_mask) <= _BWD_SCOPED_LIMIT
+
+
 def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
                  has_mask: bool, budget: int = 12 << 20) -> int:
     """Largest q block whose VMEM footprint fits: Mosaic double-buffers
@@ -370,28 +401,17 @@ def _bwd_q_block(sq: int, sk: int, hd: int, in_bytes: int,
     (per-head dq/dk/dv land directly in output-block slices — the VMEM
     diet — so there are no head-concat temps to model).
 
-    All dims are modeled PADDED to the VMEM tiling (lanes to 128,
-    sublanes to 8): at ViT shape (Sq=Sk=266) the [q_blk, Sk]
-    intermediates really occupy [272, 384]. The unpadded estimate
-    admitted q_blk=266 with head-concat temps, whose true stack was
-    17.11 M > the 16 M scoped limit — the previously-undiagnosed
-    'compile helper HTTP 500, no detail' for every grad program
-    containing this kernel (PERF.md round 3). Budget is set below the
-    hard limit to absorb what the model still cannot see (per-head
-    masked copies, Mosaic spills); 12 MB + the diet is chip-validated
-    at q_blk=266 whole-Sq ViT blocks and q_blk=128 joint blocks."""
-    sk_rows = -(-sk // 8) * 8                      # sublane-padded k rows
-    sk_lanes = -(-sk // 128) * 128                 # lane-padded scores dim
-
+    The unpadded estimate once admitted q_blk=266 with head-concat temps,
+    whose true stack was 17.11 M > the 16 M scoped limit — the
+    previously-undiagnosed 'compile helper HTTP 500, no detail' for every
+    grad program containing this kernel (PERF.md round 3). Budget is set
+    below the hard limit to absorb what the model still cannot see
+    (per-head masked copies, Mosaic spills); 12 MB + the diet is
+    chip-validated at q_blk=266 whole-Sq ViT blocks and q_blk=128 joint
+    blocks. Callers must gate on ``bwd_kernel_fits`` — the final 64
+    fallback assumes the smallest block fits."""
     def est(q_blk: int) -> int:
-        qb = -(-q_blk // 8) * 8
-        blocks = (qb * hd * in_bytes * 2           # q + g in
-                  + 2 * sk_rows * hd * in_bytes    # k + v in
-                  + qb * hd * 4                    # dq out
-                  + 2 * sk_rows * hd * 4           # dk + dv outs
-                  + (qb * sk_lanes * 4 if has_mask else 0))
-        interm = 4 * qb * sk_lanes * 4             # s/p/dp/ds fp32
-        return 2 * blocks + interm
+        return _bwd_vmem_est(q_blk, sk, hd, in_bytes, has_mask)
 
     # a block smaller than the dim must be 8-divisible (Mosaic tiling rule)
     if sq <= 512 and est(sq) <= budget:
@@ -559,7 +579,9 @@ def _bwd(num_heads, softmax_fp32, collect_colsum, budget, res, grads):
         dq, dk, dv = _bwd_xla_probs(q3, k3, v3, mask, probs, g_ctx, g_colsum,
                                     num_heads=num_heads,
                                     collect_colsum=collect_colsum)
-    elif BWD_MODE == "pallas":
+    elif BWD_MODE == "pallas" and bwd_kernel_fits(
+            q3.shape[1], k3.shape[1], q3.shape[2], q3.dtype.itemsize,
+            mask is not None):
         g_ctx, g_colsum = grads
         dq, dk, dv = _flash_bwd_pallas(q3, k3, v3, mask, g_ctx, g_colsum,
                                        num_heads=num_heads,

@@ -34,8 +34,9 @@ def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,
     """Build the jitted (params, opt_state, batch, root_key) -> ... step.
 
     attn_backend=None resolves to ops.attention.training_backend():
-    fused pallas attention in the ViT tower on TPU (+6.4% step
-    throughput, PERF.md round 3), XLA elsewhere.
+    fused pallas attention forward+backward in EVERY tower on TPU
+    (254.9 -> 271.7 seg/s/chip after the backward VMEM diet, PERF.md
+    round 3), XLA on CPU.
 
     zero1=True (requires mesh) pins the updated optimizer state to the
     ZeRO-1 shardings (parallel.mesh.zero1_partition_spec) and the updated

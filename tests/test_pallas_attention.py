@@ -196,8 +196,65 @@ def test_bwd_q_block_respects_padded_vmem():
     # ViT tower (no mask): the diet admits the whole-Sq block (one grid
     # step per image) — padded est ~9.6 MB vs the 12 MB budget
     assert _bwd_q_block(266, 266, 768, 2, has_mask=False) == 266
-    # joint tower (masked, S=396): 128, NOT more (padded est exceeds the
-    # budget above 128; 256 would also blow the 16 MB scoped limit)
+    # joint tower (masked, S=396): 128, NOT more (the padded est at 256 is
+    # ~13.0 MB — under the 16 MB hard limit but over the 12 MB budget,
+    # which is deliberately conservative for unmodeled terms)
     assert _bwd_q_block(396, 396, 768, 2, has_mask=True) == 128
     # tiny test shapes keep the whole-Sq fast path (interpret-mode tests)
     assert _bwd_q_block(48, 48, 64, 4, has_mask=True) == 48
+
+
+def test_bwd_long_sk_falls_back_to_xla():
+    """ADVICE r3 item 1: a shape whose FORWARD fits the kernel but whose
+    backward exceeds the 16 MB scoped limit at even the smallest q-block
+    (hd=768 bf16 masked, sk~>900: the full-length k/v/dk/dv blocks alone
+    overflow) must route the backward to the XLA recompute path instead
+    of Mosaic-OOMing inside the grad program."""
+    from merlot_tpu.ops.pallas_attention import (_bwd_vmem_est,
+                                                 bwd_kernel_fits,
+                                                 kernel_supported)
+
+    # the latent hole: forward gate passes, backward cannot fit
+    assert kernel_supported(1024, 1024, 64, num_heads=12, has_mask=True)
+    assert not bwd_kernel_fits(1024, 1024, 768, 2, has_mask=True)
+    assert _bwd_vmem_est(64, 1024, 768, 2, True) > (16 << 20)
+    # every shipping training tower stays on the fused backward
+    assert bwd_kernel_fits(266, 266, 768, 2, has_mask=False)   # ViT
+    assert bwd_kernel_fits(396, 396, 768, 2, has_mask=True)    # joint
+    assert bwd_kernel_fits(512, 512, 768, 2, has_mask=True)    # lang
+
+    # and the routed backward is still correct: grads at a long-sk shape
+    # (scaled down in B/H for test speed) match the pure-XLA reference
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from merlot_tpu.ops import pallas_attention as pa
+    from merlot_tpu.ops.attention import _xla_attention
+
+    r = np.random.default_rng(5)
+    b, s, h, d = 1, 1024, 12, 64   # hd=768: bwd_kernel_fits is False
+    q = jnp.asarray(r.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, s, h, d)), jnp.float32)
+    mask = jnp.asarray(r.random((b, s, s)) < 0.7, jnp.float32)
+    assert not bwd_kernel_fits(s, s, h * d, 4, has_mask=True)
+
+    def loss_pallas(q, k, v):
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            ctx, _ = pa.flash_attention(q, k, v, mask, softmax_fp32=True)
+        return jnp.sum(ctx * ctx)
+
+    def loss_xla(q, k, v):
+        ctx, _ = _xla_attention(q, k, v, mask, collect="none",
+                                softmax_fp32=True,
+                                mask_format="multiplicative")
+        return jnp.sum(ctx * ctx)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4)

@@ -406,21 +406,26 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
     replaced by ``lax.top_k(k_prefilter)`` + a full-vocab logsumexp for the
     exact softmax denominator. The kept set is provably identical whenever
     the nucleus fits inside the top-k (the k-th inclusive cumsum >= p
-    implies every rank beyond k is excluded by the keep rule); when it does
-    not fit for ANY row, a ``lax.cond`` falls back to the full sort for the
-    whole batch, so the sampled DISTRIBUTION always matches the reference
-    exactly. ``k_prefilter=0`` forces the literal full-sort path.
+    implies every rank beyond k is excluded by the keep rule).
+    ``k_prefilter=0`` forces the literal full-sort path.
 
-    Known cost cliff (deliberate): the fallback decision is BATCH-GLOBAL —
-    one persistently high-entropy row (nucleus wider than k_prefilter)
-    drags the whole batch onto the O(B·V log V) full sort every step. A
-    per-row select would not help: under jit the full sort would then run
-    for all rows unconditionally, which is strictly worse. Real trained
-    Grover models are peaked (nucleus ≪ 1024 tokens); the cliff bites
-    benches with random weights (force small p — see
-    tools/bench_grover_decode.py) and would bite production only if a
-    stream's distribution stayed near-uniform, which indicates a broken
-    model, not a sampler regime to optimize for."""
+    Fallback is STAGED and PER-ROW (ADVICE r3 item 3 closed): when some
+    row's nucleus is wider than ``k_prefilter``, a second ``lax.top_k`` at
+    ``8*k_prefilter`` runs (still far cheaper than the per-row full-vocab
+    sort, which does not batch), and only if some row's nucleus exceeds
+    THAT does the full sort run — with ``jnp.where`` selecting, per row,
+    the sample from the cheapest stage whose top-k provably contains the
+    row's nucleus. Every stage samples the exact reference distribution
+    for the rows it serves (exact full-vocab softmax via the logsumexp
+    denominator), so per-row marginals always match the reference
+    exactly; each stage draws from an independent fold of ``key`` so
+    mixed-stage batches stay independent across rows. The all-rows-fit
+    fast path is unchanged (one lax.cond, nothing else computed). The
+    remaining (deliberate) cliff: a row whose nucleus exceeds
+    ``8*k_prefilter`` (e.g. near-uniform logits at p=0.94, which needs
+    ~47k of V=50270 tokens) still triggers the full sort for the batch —
+    that regime indicates a broken model, not a sampler target; benches
+    with random weights must force small p (tools/bench_grover_decode.py)."""
     if ignore_ids is not None:
         logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
     if p > 0.999999:
@@ -430,22 +435,40 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
     if not k_prefilter or k_prefilter >= vocab:
         return _top_p_full_sort(key, logits, p)
 
-    k = k_prefilter
-    top_logits, top_idx = jax.lax.top_k(logits, k)   # sorted descending
     lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-    sorted_probs = jnp.exp(top_logits - lse)         # exact full-vocab probs
-    csum = jnp.cumsum(sorted_probs, axis=-1)
-    keep = (csum < p) | (jnp.arange(k)[None] < 1)
-    nucleus_fits = jnp.all(csum[:, -1] >= p)
 
-    def fast(key):
+    def stage(k: int, stage_key):
+        """(fits [B] bool, sample [B] int32) from the top-k kept set."""
+        top_logits, top_idx = jax.lax.top_k(logits, k)  # sorted descending
+        sorted_probs = jnp.exp(top_logits - lse)  # exact full-vocab probs
+        csum = jnp.cumsum(sorted_probs, axis=-1)
+        keep = (csum < p) | (jnp.arange(k)[None] < 1)
         masked = top_logits - (~keep).astype(jnp.float32) * 1e10
-        pick = jax.random.categorical(key, masked)
-        return jnp.take_along_axis(
+        pick = jax.random.categorical(stage_key, masked)
+        sample = jnp.take_along_axis(
             top_idx, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        return csum[:, -1] >= p, sample
 
-    return jax.lax.cond(nucleus_fits, fast,
-                        lambda key: _top_p_full_sort(key, logits, p), key)
+    fits1, s1 = stage(k_prefilter, key)
+    k2 = min(8 * k_prefilter, vocab)
+
+    def slow(key):
+        # independent key folds per stage: rows served by different stages
+        # must not share underlying random bits (same-key categoricals of
+        # different widths overlap counters across rows)
+        if k2 < vocab:
+            fits2, s2 = stage(k2, jax.random.fold_in(key, 1))
+            s12 = jnp.where(fits1, s1, s2)
+            return jax.lax.cond(
+                jnp.all(fits1 | fits2),
+                lambda key: s12,
+                lambda key: jnp.where(
+                    fits1 | fits2, s12,
+                    _top_p_full_sort(jax.random.fold_in(key, 2), logits, p)),
+                key)
+        return jnp.where(fits1, s1, _top_p_full_sort(key, logits, p))
+
+    return jax.lax.cond(jnp.all(fits1), lambda key: s1, slow, key)
 
 
 def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,

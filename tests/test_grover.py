@@ -260,6 +260,56 @@ def test_top_p_prefilter_matches_full_sort():
             assert int(tok) in kept
 
 
+def test_top_p_per_row_mixed_entropy():
+    """ADVICE r3 item 3 / VERDICT r3 #6: with rows of mixed entropy in one
+    batch, each row's sample must (a) stay inside that row's reference
+    kept set and (b) follow the reference's renormalized distribution —
+    even though the rows are served by different stages (k, 8k, full
+    sort) of the staged per-row fallback."""
+    V, k1, p = 256, 8, 0.9          # k2 = 64
+    probs = np.full((3, V), 1e-9)
+    probs[0, :6] = 0.5 ** np.arange(1, 7)       # peaked: nucleus ~4 < k1
+    probs[1, :32] = 1.0 / 32                    # medium: nucleus ~29 in (8, 64]
+    probs[2, :] = 1.0 / V                       # wide: nucleus ~230 > 64
+    probs /= probs.sum(-1, keepdims=True)
+    logits = jnp.asarray(np.log(probs), jnp.float32)
+
+    # reference kept sets + renormalized distributions (pure numpy)
+    kept_sets, ref_dists = [], []
+    for row in range(3):
+        order = np.argsort(-probs[row], kind="stable")
+        csum = np.cumsum(probs[row][order])
+        keep = (csum < p)
+        keep[0] = True
+        kept = order[keep]
+        kept_sets.append(set(int(t) for t in kept))
+        d = np.zeros(V)
+        d[kept] = probs[row][kept] / probs[row][kept].sum()
+        ref_dists.append(d)
+    # the rows really exercise three different stages
+    assert len(kept_sets[0]) <= k1
+    assert k1 < len(kept_sets[1]) <= 8 * k1
+    assert len(kept_sets[2]) > 8 * k1
+
+    n = 1500
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    sample_many = jax.jit(jax.vmap(
+        lambda k: top_p_sample(k, logits, p=p, k_prefilter=k1)))
+    samples = np.asarray(sample_many(keys))     # [n, 3]
+    for row in range(3):
+        got = samples[:, row]
+        assert set(int(t) for t in np.unique(got)) <= kept_sets[row], \
+            f"row {row}: sample outside the reference kept set"
+        emp = np.bincount(got, minlength=V) / n
+        tv = 0.5 * np.abs(emp - ref_dists[row]).sum()
+        # expected TV from pure sampling noise over a K-token support is
+        # ~0.5*sqrt(2K/(pi*n)); allow 1.5x that plus slack — still far
+        # below the TV of sampling the wrong set or unrenormalized weights
+        k_row = len(kept_sets[row])
+        tol = 0.75 * np.sqrt(2 * k_row / (np.pi * n)) + 0.02
+        assert tv < tol, f"row {row}: TV {tv:.3f} >= tol {tol:.3f}"
+
+
 def test_seq2seq_sampler_force_feeds_context(rng):
     model = GroverLM(TINY)
     ids0 = jnp.asarray(rng.integers(1, 50257, (2, 8)), jnp.int32)

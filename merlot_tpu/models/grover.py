@@ -550,7 +550,8 @@ def grover_pipeline_forward(pp_variables, cfg: GroverConfig,
                             input_ids: jnp.ndarray, *, mesh,
                             num_microbatches: int,
                             axis: str = "stage",
-                            dropout_rng: Optional[jax.Array] = None
+                            dropout_rng: Optional[jax.Array] = None,
+                            data_axis: Optional[str] = None
                             ) -> jnp.ndarray:
     """Training forward with the 24-layer stack PIPELINE-parallel over a
     ``stage`` mesh axis (parallel/pipeline.py GPipe schedule) — the scale
@@ -590,7 +591,7 @@ def grover_pipeline_forward(pp_variables, cfg: GroverConfig,
 
     h_mb = microbatch(h, num_microbatches)
     out = pipeline_apply(layer_fn, p["stages"], h_mb, mesh=mesh, axis=axis,
-                         rng=dropout_rng)
+                         rng=dropout_rng, data_axis=data_axis)
     out = out.reshape(b, s, c.hidden_size)
     return lm_logits_for_hidden(pp_variables, c, out)
 

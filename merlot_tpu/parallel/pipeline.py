@@ -23,9 +23,11 @@ TPU-native shape (no schedulers, no send/recv threads):
   * bubble fraction is the GPipe (n_stage - 1) / (M + n_stage - 1);
     choose M >= 4 * n_stage to keep it under ~20%.
 
-This composes with the (data, model) mesh: build a (data, stage) mesh and
-shard the microbatch dim of ``h`` over ``data`` in the caller; the scan
-below is independent per data shard.
+This composes with data parallelism: build a (data, stage) mesh and pass
+``data_axis='data'`` — the per-microbatch dim of ``h_mb`` is sharded over
+``data`` and the scan runs independently per data shard, with param
+cotangents psummed over ``data`` by the shard_map transpose (verified
+dp2 x stage4 == sequential fwd+bwd in tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -70,7 +72,8 @@ def shard_stage_params(stacked, mesh: Mesh, axis: str = "stage"):
 def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
                    stacked_params, h_mb: jnp.ndarray, *,
                    mesh: Mesh, axis: str = "stage",
-                   rng: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   rng: Optional[jnp.ndarray] = None,
+                   data_axis: Optional[str] = None) -> jnp.ndarray:
     """Run microbatches through the staged layer stack.
 
     Args:
@@ -83,7 +86,15 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
       stacked_params: output of ``stack_stage_params`` (leaves
         [n_stage, L/n_stage, ...]), placed with ``shard_stage_params``.
       h_mb: [M, mb, ...] microbatched activations, replicated over
-        ``axis`` (shard any other mesh axes in the caller).
+        ``axis``.
+      data_axis: compose PP with data parallelism on a (data, stage)
+        mesh: the per-microbatch dim (dim 1) of ``h_mb`` is sharded over
+        this axis and every data shard runs the same schedule on its
+        slice (the scan is independent per shard; params are replicated
+        over ``data_axis``, so their cotangents are psummed over it by
+        the shard_map transpose — the standard DP gradient all-reduce).
+        Tested dp2 x stage4 == sequential, fwd and grads
+        (tests/test_pipeline.py::test_pipeline_composes_with_data_axis).
 
     Returns [M, mb, ...]: the last stage's outputs, microbatch order
     preserved. Differentiable in (stacked_params, h_mb).
@@ -149,12 +160,15 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
         # [1, M, ...] per device; the global view stacks stages on dim 0
         return out_buf[None]
 
-    # in/out specs: params sharded on dim 0; activations replicated in
-    # this axis (other axes are outside this shard_map's concern)
+    # in/out specs: params sharded on dim 0 of every leaf (replicated over
+    # data_axis if present); activations replicated over `axis`, with the
+    # per-microbatch dim sharded over data_axis when composing with DP
+    h_spec = P(None, data_axis) if data_axis else P()
+    out_spec = P(axis, None, data_axis) if data_axis else P(axis)
     out = shard_map(
         per_device, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(axis), stacked_params), P()),
-        out_specs=P(axis),
+        in_specs=(jax.tree.map(lambda _: P(axis), stacked_params), h_spec),
+        out_specs=out_spec,
         check_vma=False,
     )(stacked_params, h_mb)
     return out[-1]

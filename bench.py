@@ -260,7 +260,8 @@ def main():
             # ('pallas' in every tower on TPU, the measured-best config)
             step_fn = make_train_step(
                 model, optimizer,
-                attn_backend=os.environ.get("BENCH_ATTN") or None)
+                attn_backend=os.environ.get("BENCH_ATTN") or None,
+                dropout_rng_impl=os.environ.get("BENCH_DROPOUT_RNG", "rbg"))
             key = jax.random.PRNGKey(0)
 
             t0 = time.time()

@@ -313,6 +313,12 @@ def _apply_backend_knobs():
         import merlot_tpu.ops.pallas_groupnorm as _pgn
         _pgn.BACKEND = os.environ["BENCH_GN"]
         _pgn.TRAIN_BACKEND = os.environ["BENCH_GN"]
+    if os.environ.get("BENCH_LN_BWD"):  # 'stats' | 'xhat'
+        from merlot_tpu.ops import norms as _norms
+        _norms.LN_BWD = os.environ["BENCH_LN_BWD"]
+    if os.environ.get("BENCH_GN_BWD"):  # 'stats' | 'xhat'
+        from merlot_tpu.ops import norms as _norms
+        _norms.GN_BWD = os.environ["BENCH_GN_BWD"]
 
 
 def _wait_for_device(max_wait_s: int = 1800, attempt_s: int = 300) -> None:

@@ -60,7 +60,14 @@ def _ln_fwd(x, gamma, beta, epsilon):
     return out, (x, gamma, mean, rstd)
 
 
-def _ln_bwd(epsilon, res, dy):
+# Backward formulation knob (same idea as GN_BWD below): 'stats' never
+# forms x_hat as a tensor — per-row moments of (dx_hat, dx_hat*x) replace
+# it, so the backward is reductions + one elementwise pass in (x, dy)
+# with per-row scalars. 'xhat' is the literal form (A/B + test oracle).
+LN_BWD = "stats"
+
+
+def _ln_bwd_xhat(epsilon, res, dy):
     x, gamma, mean, rstd = res
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
@@ -73,6 +80,33 @@ def _ln_bwd(epsilon, res, dy):
     m2 = jnp.mean(dx_hat * x_hat, axis=-1, keepdims=True)
     dx = (rstd * (dx_hat - m1 - x_hat * m2)).astype(x.dtype)
     return dx, dgamma, dbeta
+
+
+def _ln_bwd_stats(epsilon, res, dy):
+    x, gamma, mean, rstd = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    gf = gamma.astype(jnp.float32)
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = float(x.shape[-1])
+
+    dx_hat = dyf * gf
+    m1 = jnp.sum(dx_hat, axis=-1, keepdims=True) / n
+    mxy = jnp.sum(dx_hat * xf, axis=-1, keepdims=True) / n
+    m2 = (mxy - mean * m1) * rstd
+
+    # dgamma = sum_rows dy*x_hat, expanded so no x_hat tensor is formed
+    dgamma = jnp.sum(dyf * (xf - mean) * rstd, axis=reduce_axes)
+    dbeta = jnp.sum(dyf, axis=reduce_axes)
+
+    coef = rstd * rstd * m2
+    dx = (rstd * (dx_hat - m1) - (xf - mean) * coef).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+def _ln_bwd(epsilon, res, dy):
+    fn = _ln_bwd_stats if LN_BWD == "stats" else _ln_bwd_xhat
+    return fn(epsilon, res, dy)
 
 
 layer_norm.defvjp(_ln_fwd, _ln_bwd)
@@ -130,7 +164,19 @@ def _gn_fwd(x, gamma, beta, num_groups, epsilon, mean_close_to_zero):
     return out, (x, gamma, mean, rstd)
 
 
-def _gn_bwd(num_groups, epsilon, mean_close_to_zero, res, dy):
+# Backward formulation knob:
+#   'stats' (default) — sufficient-statistics form: two reductions of
+#       (dy, dy*x) over the spatial axis + one elementwise pass writing dx
+#       straight from (x, dy) with per-(batch, group) scalars. x_hat is
+#       never formed as a tensor, so XLA has no [B,H,W,C] fp32 intermediate
+#       to materialize (the literal form measured a 620 MB fp32 x_hat
+#       round-trip per stem site — ~5 ms/step at pretrain shapes).
+#   'xhat' — the literal textbook form (kept for A/B and as the oracle in
+#       tests; same math, different floating-point association).
+GN_BWD = "stats"
+
+
+def _gn_bwd_xhat(num_groups, epsilon, mean_close_to_zero, res, dy):
     x, gamma, mean, rstd = res
     xf = _gn_reshape(x, num_groups)                    # [B, S, G, Cpg]
     x_hat = (xf - mean) * rstd
@@ -145,6 +191,43 @@ def _gn_bwd(num_groups, epsilon, mean_close_to_zero, res, dy):
     m2 = jnp.mean(dx_hat * x_hat, axis=(1, 3), keepdims=True)
     dx = (rstd * (dx_hat - m1 - x_hat * m2)).reshape(x.shape).astype(x.dtype)
     return dx, dgamma, dbeta
+
+
+def _gn_bwd_stats(num_groups, epsilon, mean_close_to_zero, res, dy):
+    x, gamma, mean, rstd = res
+    xf = _gn_reshape(x, num_groups)                    # [B, S, G, Cpg]
+    dyf = _gn_reshape(dy, num_groups)
+    c = x.shape[-1]
+    s_len, cpg = xf.shape[1], xf.shape[3]
+    denom = float(s_len * cpg)
+    gamma_g = gamma.astype(jnp.float32).reshape(1, 1, num_groups, -1)
+
+    # pass 1: per-(b, g, c') sufficient statistics of (dy, dy*x)
+    a = jnp.sum(dyf * xf, axis=1, keepdims=True)       # [B, 1, G, Cpg]
+    bv = jnp.sum(dyf, axis=1, keepdims=True)           # [B, 1, G, Cpg]
+
+    # everything the textbook form derives from x_hat, in closed form:
+    #   m1  = mean(dx_hat)        = sum_c'(gamma * bv) / (S*Cpg)
+    #   m2  = mean(dx_hat * x_hat) = (mean(dx_hat*x) - mean*m1) * rstd
+    m1 = jnp.sum(gamma_g * bv, axis=3, keepdims=True) / denom
+    mxy = jnp.sum(gamma_g * a, axis=3, keepdims=True) / denom
+    m2 = (mxy - mean * m1) * rstd
+
+    # param grads: dgamma = sum_{b,s} dy*x_hat = sum_b rstd*(a - mean*bv)
+    dgamma = jnp.sum(rstd * (a - mean * bv), axis=(0, 1)).reshape(c)
+    dbeta = jnp.sum(bv, axis=(0, 1)).reshape(c)
+
+    # pass 2: dx = rstd*(dx_hat - m1) - (x - mean)*rstd^2*m2, elementwise
+    # in (x, dy) with per-(b, g) broadcast scalars — no x_hat tensor
+    coef = rstd * rstd * m2
+    dx = (rstd * (dyf * gamma_g - m1) - (xf - mean) * coef)
+    dx = dx.reshape(x.shape).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+def _gn_bwd(num_groups, epsilon, mean_close_to_zero, res, dy):
+    fn = _gn_bwd_stats if GN_BWD == "stats" else _gn_bwd_xhat
+    return fn(num_groups, epsilon, mean_close_to_zero, res, dy)
 
 
 group_norm.defvjp(_gn_fwd, _gn_bwd)

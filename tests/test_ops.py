@@ -124,6 +124,54 @@ def test_gumbel_topk_no_replacement_and_distribution():
     assert 0.65 < frac < 0.75
 
 
+def test_norm_bwd_stats_matches_xhat(rng):
+    """The sufficient-statistics backward ('stats', default — never forms an
+    x_hat tensor, so XLA has no fp32 [B,H,W,C] intermediate to materialize)
+    must match the literal textbook form ('xhat') to fp32 reassociation
+    tolerance, for both norms, on bf16 inputs like training uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from merlot_tpu.ops import norms
+
+    x = jnp.asarray(rng.standard_normal((48, 96)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal(96) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(96) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((48, 96)), jnp.float32)
+
+    def ln_loss(x, g, b):
+        return jnp.sum(norms.layer_norm(x, g, b).astype(jnp.float32) * dy)
+
+    xg = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.bfloat16)
+    gg = jnp.asarray(rng.standard_normal(32) * 0.1 + 1.0, jnp.float32)
+    bg = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+    dyg = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+
+    def gn_loss(x, g, b):
+        return jnp.sum(
+            norms.group_norm(x, g, b, 4, 1e-4, True).astype(jnp.float32) * dyg)
+
+    outs = {}
+    old_ln, old_gn = norms.LN_BWD, norms.GN_BWD
+    try:
+        for mode in ("xhat", "stats"):
+            norms.LN_BWD = norms.GN_BWD = mode
+            outs[mode] = (
+                jax.grad(ln_loss, argnums=(0, 1, 2))(x, g, b)
+                + jax.grad(gn_loss, argnums=(0, 1, 2))(xg, gg, bg))
+    finally:
+        norms.LN_BWD, norms.GN_BWD = old_ln, old_gn
+
+    for a, w in zip(outs["stats"], outs["xhat"]):
+        # dx is cast to bf16 — reassociated fp32 math can land one bf16 ulp
+        # away at rounding boundaries (rtol 1/128); fp32 param grads stay
+        # at fp32 reassociation tolerance.
+        rtol = 1e-2 if a.dtype == jnp.bfloat16 else 2e-4
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(w, np.float32),
+            rtol=rtol, atol=1e-4)
+
+
 def test_norm_custom_vjp_matches_autodiff(rng):
     """layer_norm/group_norm carry hand-written backwards (to stop XLA from
     saving fp32 activation copies); they must equal autodiff of the same

@@ -51,11 +51,25 @@ def main():
     rn = LiteResNet((3, 4, 9), dtype=jnp.bfloat16)
     v = jax.jit(lambda x: rn.init(jax.random.PRNGKey(0), x))(images)
 
-    t = bench(jax.jit(lambda v, x: rn.apply(v, x)), v, images)
+    fwd = jax.jit(lambda v, x: rn.apply(v, x))
+    t = bench(fwd, v, images)
     print(f"resnet fwd     : {t:8.1f} ms", flush=True)
-    t = bench(jax.jit(jax.grad(lambda v, x: jnp.sum(
-        rn.apply(v, x).astype(jnp.float32) ** 2))), v, images)
+    bwd = jax.jit(jax.grad(lambda v, x: jnp.sum(
+        rn.apply(v, x).astype(jnp.float32) ** 2)))
+    t = bench(bwd, v, images)
     print(f"resnet fwd+bwd : {t:8.1f} ms", flush=True)
+
+    if os.environ.get("RESNET_PROF"):
+        # per-fusion device-time breakdown of the fwd+bwd step (the data
+        # for the VERDICT r3 #3 conv-layout decision)
+        from tools.profile_step import parse_trace
+        trace_dir = os.environ.get("PROF_DIR", "/tmp/resnet_prof")
+        with jax.profiler.trace(trace_dir):
+            out = None
+            for _ in range(3):
+                out = bwd(v, images)
+            _host_sync(out)
+        parse_trace(trace_dir, min_pct=0.3)
 
 
 if __name__ == "__main__":

@@ -77,11 +77,14 @@ def main(argv=None):
     one("warm up the kitchen")
 
     errors = []
+    latencies = []
 
     def client(i):
         try:
             for r in range(args.requests):
+                t = time.time()
                 one(f"client {i} request {r} " + "pasta " * (r % 3))
+                latencies.append(time.time() - t)
         except Exception as e:  # noqa: BLE001
             errors.append(e)
 
@@ -108,6 +111,9 @@ def main(argv=None):
         "sampler_calls": calls,
         "mean_batch": round(served / max(calls, 1), 2),
         "batch_window_ms": args.batch_window,
+        "p50_s": round(sorted(latencies)[len(latencies) // 2], 2),
+        "p95_s": round(sorted(latencies)[
+            min(len(latencies) - 1, int(len(latencies) * 0.95))], 2),
     }))
     server.shutdown()
 

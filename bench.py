@@ -235,7 +235,8 @@ def main():
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
         remat_policy=os.environ.get("BENCH_REMAT_POLICY") or None,
         attention_softmax_fp32=os.environ.get("BENCH_SOFTMAX_FP32", "0") == "1",
-        fuse_ln_matmul=os.environ.get("BENCH_LN_FUSION", "0") == "1")
+        fuse_ln_matmul=os.environ.get("BENCH_LN_FUSION", "0") == "1",
+        fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1")
     batch_sizes = tuple(
         int(x) for x in os.environ.get("BENCH_BATCH", "8,4,2,1").split(","))
     num_chunks = 16

@@ -83,6 +83,9 @@ class MerlotConfig:
     # fuse pre-LNs into their consumer matmuls (pallas LN+matmul kernel;
     # identical math + param tree, off-TPU falls back to unfused)
     fuse_ln_matmul: bool = False
+    # one [H, 3H] q/k/v projection per attention (bit-identical outputs,
+    # unchanged param tree; see TransformerHParams.fused_qkv)
+    fused_qkv: bool = False
 
     # checkpoint warm start
     init_checkpoint: Optional[str] = None

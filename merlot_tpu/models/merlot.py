@@ -97,7 +97,7 @@ class MerlotModel(nn.Module):
             dtype=dtype, scan_layers=c.scan_layers, remat=c.remat,
             remat_policy=c.remat_policy,
             softmax_fp32=c.attention_softmax_fp32,
-            fuse_ln_matmul=c.fuse_ln_matmul)
+            fuse_ln_matmul=c.fuse_ln_matmul, fused_qkv=c.fused_qkv)
         self.vision_backbone = VisionBackbone(
             patch_size=c.patch_size, hidden_size=c.hidden_size,
             num_cls_emb=c.num_cls_emb, resnet_layers=tuple(c.resnet_layers),

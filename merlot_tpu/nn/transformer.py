@@ -87,6 +87,12 @@ class TransformerHParams:
     # the exact unfused math off-TPU / at unsupported shapes. Skipped
     # automatically on cross-attention / KV-cache calls.
     fuse_ln_matmul: bool = False
+    # one [H, 3H] q/k/v projection per attention instead of three [H, H]s
+    # (fewer fusion boundaries feeding the attention kernel; per-column
+    # dot products unchanged so outputs are bit-identical). Weights stay
+    # three separate checkpoint params, concatenated at apply time.
+    # Skipped on cross-attention (k/v read a different source).
+    fused_qkv: bool = False
 
 
 class SelfAttention(nn.Module):
@@ -134,6 +140,20 @@ class SelfAttention(nn.Module):
             q = q3.reshape(b, s, hp.num_heads, d_head)
             k = k3.reshape(b, s, hp.num_heads, d_head)
             v = v3.reshape(b, s, hp.num_heads, d_head)
+        elif hp.fused_qkv and x_enc is None:
+            # one [H, 3H] matmul (see TransformerHParams.fused_qkv); the
+            # submodules/names are identical to the unfused branch so the
+            # param tree (and every checkpoint map) is unchanged
+            ws, bss = zip(*(DenseTN(hp.hidden_size, dtype=hp.dtype,
+                                    initializer_range=hp.initializer_range,
+                                    name=n)(x_norm, raw=True)
+                            for n in ("query", "key", "value")))
+            w3 = jnp.concatenate(ws, axis=1).astype(hp.dtype)
+            b3 = jnp.concatenate(bss).astype(hp.dtype)
+            qkv = jnp.dot(x_norm.astype(hp.dtype), w3,
+                          preferred_element_type=hp.dtype) + b3
+            q, k, v = (qkv[..., i * h:(i + 1) * h].reshape(
+                b, s, hp.num_heads, d_head) for i in range(3))
         else:
             kv_src = x_enc if x_enc is not None else x_norm
             q = proj("query", x_norm)

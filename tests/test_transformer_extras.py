@@ -119,3 +119,22 @@ def test_loader_unbatch_path(tmp_path):
     for b in batches:
         assert b["input_ids"].shape == (1, 4, 8)
         assert b["images"].shape == (4, 32, 48, 3)
+
+
+def test_fused_qkv_matches_unfused(rng):
+    """fused_qkv concatenates the q/k/v kernels into one [H, 3H] matmul;
+    every output column is the same dot product, so hidden states must be
+    bit-identical and the param tree unchanged."""
+    import dataclasses
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    mask = jnp.ones((2, 5, 5), jnp.float32)
+    enc = TransformerEncoder(HP)
+    v = enc.init(jax.random.PRNGKey(0), x, mask)
+    enc_f = TransformerEncoder(dataclasses.replace(HP, fused_qkv=True))
+    # same params load unchanged into the fused module
+    o = np.asarray(enc.apply(v, x, mask)["hidden_state"])
+    o_f = np.asarray(enc_f.apply(v, x, mask)["hidden_state"])
+    np.testing.assert_array_equal(o, o_f)
+    # init under the fused path produces the identical tree
+    v_f = enc_f.init(jax.random.PRNGKey(0), x, mask)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_f)

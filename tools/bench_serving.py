@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_len", type=int, default=96)
     ap.add_argument("--max_ctx", type=int, default=48)
+    ap.add_argument("--top_p", type=float, default=0.94,
+                    help="nucleus p; with RANDOM weights use <=0.01 so the "
+                         "top-p prefilter stays on the fast path (see "
+                         "tools/bench_grover_decode.py docstring)")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args(argv)
 
@@ -56,7 +60,7 @@ def main(argv=None):
         cfg_path = f.name
 
     den = Denoiser(cfg_path, args.ckpt, max_len=args.max_len,
-                   max_ctx=args.max_ctx, bf16=args.bf16,
+                   max_ctx=args.max_ctx, bf16=args.bf16, top_p=args.top_p,
                    batch_window_ms=args.batch_window,
                    max_batch=args.max_batch)
     log_path = tempfile.mktemp(suffix=".jsonl")

@@ -395,7 +395,7 @@ def _top_p_full_sort(key: jax.Array, logits: jnp.ndarray,
 
 def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
                  ignore_ids: Optional[jnp.ndarray] = None,
-                 k_prefilter: int = 1024) -> jnp.ndarray:
+                 k_prefilter: int = 128) -> jnp.ndarray:
     """Nucleus sampling with the reference's keep rule (reference: :331-386):
     keep tokens whose cumulative mass (inclusive) is < p, always keep the
     argmax, sample in sorted space. logits [B, V] -> [B] int32.
@@ -410,22 +410,26 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
     ``k_prefilter=0`` forces the literal full-sort path.
 
     Fallback is STAGED and PER-ROW (ADVICE r3 item 3 closed): when some
-    row's nucleus is wider than ``k_prefilter``, a second ``lax.top_k`` at
-    ``8*k_prefilter`` runs (still far cheaper than the per-row full-vocab
-    sort, which does not batch), and only if some row's nucleus exceeds
-    THAT does the full sort run — with ``jnp.where`` selecting, per row,
-    the sample from the cheapest stage whose top-k provably contains the
-    row's nucleus. Every stage samples the exact reference distribution
-    for the rows it serves (exact full-vocab softmax via the logsumexp
-    denominator), so per-row marginals always match the reference
-    exactly; each stage draws from an independent fold of ``key`` so
-    mixed-stage batches stay independent across rows. The all-rows-fit
-    fast path is unchanged (one lax.cond, nothing else computed). The
-    remaining (deliberate) cliff: a row whose nucleus exceeds
-    ``8*k_prefilter`` (e.g. near-uniform logits at p=0.94, which needs
-    ~47k of V=50270 tokens) still triggers the full sort for the batch —
-    that regime indicates a broken model, not a sampler target; benches
-    with random weights must force small p (tools/bench_grover_decode.py)."""
+    row's nucleus is wider than ``k_prefilter``, successively wider
+    ``lax.top_k`` stages run (x8 per stage, up to three stages — still far
+    cheaper than the per-row full-vocab sort, which does not batch), and
+    only if some row's nucleus exceeds the LAST stage does the full sort
+    run — with ``jnp.where`` selecting, per row, the sample from the
+    cheapest stage whose top-k provably contains the row's nucleus. Every
+    stage samples the exact reference distribution for the rows it serves
+    (exact full-vocab softmax via the logsumexp denominator), so per-row
+    marginals always match the reference exactly; each stage draws from an
+    independent fold of ``key`` so mixed-stage batches stay independent
+    across rows. The all-rows-fit fast path is unchanged (one lax.cond,
+    nothing else computed). At the default k=128 the ladder is
+    128 -> 1024 -> 8192 -> full sort (the default moved 1024 -> 128 after
+    the round-4 decode profile showed lax.top_k(1024) was ~8% of the b8
+    decode step; PERF.md). The remaining (deliberate) cliff: a row whose
+    nucleus exceeds the last ladder stage (e.g. near-uniform logits at
+    p=0.94, which needs ~47k of V=50270 tokens) still triggers the full
+    sort for the batch — that regime indicates a broken model, not a
+    sampler target; benches with random weights must force small p
+    (tools/bench_grover_decode.py)."""
     if ignore_ids is not None:
         logits = logits - ignore_ids.astype(jnp.float32)[None] * 1e10
     if p > 0.999999:
@@ -449,26 +453,34 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
             top_idx, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
         return csum[:, -1] >= p, sample
 
-    fits1, s1 = stage(k_prefilter, key)
-    k2 = min(8 * k_prefilter, vocab)
+    ladder = [k_prefilter]
+    while len(ladder) < 3 and ladder[-1] * 8 < vocab:
+        ladder.append(ladder[-1] * 8)
 
-    def slow(key):
-        # independent key folds per stage: rows served by different stages
-        # must not share underlying random bits (same-key categoricals of
-        # different widths overlap counters across rows)
-        if k2 < vocab:
-            fits2, s2 = stage(k2, jax.random.fold_in(key, 1))
-            s12 = jnp.where(fits1, s1, s2)
-            return jax.lax.cond(
-                jnp.all(fits1 | fits2),
-                lambda key: s12,
-                lambda key: jnp.where(
-                    fits1 | fits2, s12,
-                    _top_p_full_sort(jax.random.fold_in(key, 2), logits, p)),
-                key)
-        return jnp.where(fits1, s1, _top_p_full_sort(key, logits, p))
+    def tail(i: int, fits, best, key):
+        """Sample for every row, escalating rows ``fits`` hasn't served.
+        Built as nested lax.conds so a stage's sort only executes when
+        some row actually needs it. Stage i>=1 draws from fold_in(key, i)
+        — rows served by different stages must not share underlying
+        random bits (same-key categoricals of different widths overlap
+        counters across rows)."""
+        if i == len(ladder):
+            # when the full sort is the IMMEDIATE fallback (no intermediate
+            # stage fits under the vocab), it draws from the raw key so it
+            # bit-matches _top_p_full_sort(key) — the documented contract
+            # tests pin (test_top_p_prefilter_matches_full_sort)
+            fs_key = key if i == 1 else jax.random.fold_in(key, i)
+            return jnp.where(fits, best,
+                             _top_p_full_sort(fs_key, logits, p))
 
-    return jax.lax.cond(jnp.all(fits1), lambda key: s1, slow, key)
+        def slow(key):
+            f_i, s_i = stage(ladder[i], jax.random.fold_in(key, i))
+            return tail(i + 1, fits | f_i, jnp.where(fits, best, s_i), key)
+
+        return jax.lax.cond(jnp.all(fits), lambda key: best, slow, key)
+
+    fits1, s1 = stage(ladder[0], key)
+    return tail(1, fits1, s1, key)
 
 
 def top_k_sample(key: jax.Array, logits: jnp.ndarray, k: int,
@@ -642,7 +654,8 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
                          p_for_topp: float = 0.95,
                          eos_token: int = 3,
                          ignore_pad_only: bool = True,
-                         k_prefilter: int = 1024):
+                         k_prefilter: int = 128,
+                         sample_rng_impl: str = "auto"):
     """Build a jitted seq2seq sampler.
 
     fn(params, initial_context [B, L0] (pad = generate here), key)
@@ -653,6 +666,12 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
     prefix_len are processed in one prefill pass; after that one token per
     while_loop step, each sampled token overridden by the context token when
     the context has one (the force-feeding denoise interface).
+
+    sample_rng_impl: PRNG impl for the per-step sampling bits — 'auto'
+    (TPU-native rbg on tpu/axon, threefry elsewhere), 'rbg', 'threefry'.
+    The decode step is latency-bound small ops; threefry's chained-u32
+    gumbel draws are pure overhead there (the dropout-RNG finding, PERF.md
+    round 4, applied to serving). Distribution unchanged; stream differs.
     """
     cfg = model.cfg
     assert 0 < prefix_len
@@ -660,6 +679,12 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
         if ignore_pad_only else None
 
     def fn(params, initial_context, key):
+        if sample_rng_impl != "threefry" and (
+                sample_rng_impl != "auto"
+                or jax.default_backend() in ("tpu", "axon")):
+            from merlot_tpu.ops.sampling import rekey
+            key = rekey(key, "rbg" if sample_rng_impl == "auto"
+                        else sample_rng_impl)
         b, l0 = initial_context.shape
         tokens = jnp.full((b, max_len), cfg.pad_token_id, jnp.int32)
         tokens = jax.lax.dynamic_update_slice(
@@ -701,8 +726,15 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
                 initial_context, jnp.minimum(pos, l0 - 1), 1, axis=1)[:, 0]
             use_ctx = in_ctx & (ctx_tok != cfg.pad_token_id)
             tok = jnp.where(use_ctx, ctx_tok, sampled)
-            pall = jax.nn.softmax(logits_last, axis=-1)
-            pr = jnp.take_along_axis(pall, tok[:, None], axis=-1)[:, 0]
+            # softmax(logits)[tok] as exp(logit - logsumexp): one reduce
+            # instead of a full-vocab probs tensor in the decode loop
+            # (the loop body is latency-bound small ops — PERF.md round 4
+            # decode profile: the sampler side, not the 24 layers, is the
+            # gap above the byte roofline)
+            lse = jax.scipy.special.logsumexp(logits_last, axis=-1)
+            lg_tok = jnp.take_along_axis(
+                logits_last, tok[:, None], axis=-1)[:, 0]
+            pr = jnp.exp(lg_tok - lse)
             return tok, pr
 
         key0, key_loop = jax.random.split(key)

@@ -12,6 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
+def rekey(k: jax.Array, impl: str = "rbg") -> jax.Array:
+    """Re-key a threefry key so subsequent ``random.bits`` draws use
+    ``impl`` (e.g. 'rbg' = the TPU-native RngBitGenerator) while
+    split/fold_in stay threefry over the key data. Distribution is
+    unchanged; only the stream differs. See train_step.dropout_key for
+    the measured win on dropout masks (~23 ms/step at the flagship
+    shape); serving samplers use it for the per-step gumbel draws."""
+    if impl == "threefry":
+        return k
+    return jax.random.wrap_key_data(
+        jax.random.bits(k, (4,), jnp.uint32), impl=impl)
+
+
 def gumbel_topk_without_replacement(key: jax.Array, logits: jnp.ndarray,
                                     num_samples: int) -> jnp.ndarray:
     """Sample ``num_samples`` indices without replacement via Gumbel top-k.

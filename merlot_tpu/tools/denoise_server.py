@@ -51,7 +51,7 @@ class Denoiser:
     def __init__(self, config_path: str, ckpt_path: Optional[str] = None,
                  max_len: int = 1537, top_p: float = 0.94,
                  max_ctx: int = 1280, bf16: bool = False,
-                 k_prefilter: int = 1024, tp: int = 1,
+                 k_prefilter: int = 128, tp: int = 1,
                  fuse_qkv: bool = True,
                  batch_window_ms: float = 15.0, max_batch: int = 8):
         import dataclasses
@@ -315,7 +315,7 @@ def main(argv=None):
     ap.add_argument("--top_p", type=float, default=0.94)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16-stored weights + KV cache (~2.5x decode)")
-    ap.add_argument("--k_prefilter", type=int, default=1024,
+    ap.add_argument("--k_prefilter", type=int, default=128,
                     help="top-p sort prefilter (0 = full-vocab sort)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree over visible devices")

@@ -41,10 +41,8 @@ def dropout_key(k: jax.Array, impl: str = "rbg") -> jax.Array:
     any RNG-impl choice has. Masking/Gumbel keys stay threefry (tiny
     tensors, and their stream is part of the repo's reproducibility
     story)."""
-    if impl == "threefry":
-        return k
-    return jax.random.wrap_key_data(
-        jax.random.bits(k, (4,), jnp.uint32), impl=impl)
+    from merlot_tpu.ops.sampling import rekey
+    return rekey(k, impl)
 
 
 def make_train_step(model: MerlotPretrainModel, optimizer: MerlotAdamW,

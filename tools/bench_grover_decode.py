@@ -7,7 +7,7 @@ tokens/s for the prefill+decode sampler at several batch sizes and knobs:
 
   GROVER_BF16=1     serving fast path: bf16-stored matrices + bf16 KV cache
                     (cast_params_for_serving; fp32 master contract unchanged)
-  GROVER_KPRE=N     top-p prefilter k (0 = reference's full-vocab sort)
+  GROVER_KPRE=N     top-p prefilter k (default 128; 0 = reference's full-vocab sort)
   GROVER_BATCHES    comma list, default "1,8"
   GROVER_GEN=N      decode tokens per row (default 192)
   GROVER_PREFIX=N   prefix length (default 1024)
@@ -52,7 +52,7 @@ def main():
     fuseqkv = os.environ.get("GROVER_FUSEQKV", "1") == "1"
     stackkv = os.environ.get("GROVER_STACKKV", "1") == "1"
     grover_mod.DECODE_ATTN = os.environ.get("GROVER_ATTN", "auto")
-    kpre = int(os.environ.get("GROVER_KPRE", "1024"))
+    kpre = int(os.environ.get("GROVER_KPRE", "128"))
     batches = [int(b) for b in
                os.environ.get("GROVER_BATCHES", "1,8").split(",")]
     gen = int(os.environ.get("GROVER_GEN", "192"))

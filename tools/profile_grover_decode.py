@@ -59,7 +59,9 @@ def main():
     def step(params, tok, cache, pos, key):
         logits, cache = model.apply(params, tok, cache=cache,
                                     position_offset=pos)
-        nxt = top_p_sample(key, logits[:, 0], 0.005, k_prefilter=1024)
+        nxt = top_p_sample(key, logits[:, 0], 0.005,
+                           k_prefilter=int(os.environ.get("GROVER_KPRE",
+                                                          "128")))
         return nxt[:, None], cache
 
     tok = jnp.full((b, 1), 123, jnp.int32)

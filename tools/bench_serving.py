@@ -1,15 +1,24 @@
 """Denoise-server load bench: concurrent requests vs the batching engine.
 
 Drives a live in-process HTTP server with C concurrent clients issuing R
-requests each and reports wall time, requests/s, and the engine's
-batching telemetry (sampler calls vs requests -> mean batch). On the
-chip with grover-medium this quantifies the dynamic-batching win
+requests each and reports wall time, requests/s, latency percentiles, and
+the engine's batching telemetry (sampler calls vs requests -> mean batch).
+On the chip with grover-medium this quantifies the dynamic-batching win
 (batch-8 decode is ~3-5x batch-1 aggregate, PERF.md); on CPU with the
 tiny default config it demonstrates the mechanism.
 
-Usage:
+Sweep mode runs every leg in ONE process because the persistent jax
+compilation cache does not cover the axon remote-compile path — separate
+processes re-pay every sampler compile (~40 s each over the tunnel),
+swamping the serving signal. One process + an untimed warm pass per leg
+keeps the jit caches hot, so the measured pass times serving, not XLA.
+
+Usage (single leg):
     python tools/bench_serving.py [--config cfg.json] [--ckpt CKPT]
         [--clients 8] [--requests 4] [--batch_window 15] [--bf16]
+Sweep (one process, warm+measured per leg; 0 window = engine off):
+    python tools/bench_serving.py --config configs/grover_medium.json \
+        --bf16 --top_p 0.01 --sweep 0x8,15x1,15x4,15x8,15x16
 """
 
 from __future__ import annotations
@@ -43,6 +52,10 @@ def main(argv=None):
                          "top-p prefilter stays on the fast path (see "
                          "tools/bench_grover_decode.py docstring)")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--sweep", default=None,
+                    help="comma list of WINDOWxCLIENTS legs, e.g. "
+                         "'0x8,15x1,15x8' (window 0 = engine off); each leg "
+                         "runs an untimed warm pass then a measured pass")
     args = ap.parse_args(argv)
 
     from http.server import ThreadingHTTPServer
@@ -61,8 +74,9 @@ def main(argv=None):
 
     den = Denoiser(cfg_path, args.ckpt, max_len=args.max_len,
                    max_ctx=args.max_ctx, bf16=args.bf16, top_p=args.top_p,
-                   batch_window_ms=args.batch_window,
+                   batch_window_ms=max(args.batch_window, 1e-3),
                    max_batch=args.max_batch)
+    engine = den.engine  # the sweep toggles den.engine per leg
     log_path = tempfile.mktemp(suffix=".jsonl")
     server = ThreadingHTTPServer(("127.0.0.1", 0),
                                  make_handler(den, log_path))
@@ -80,45 +94,70 @@ def main(argv=None):
     # warm the compile caches OUTSIDE the timed window
     one("warm up the kitchen")
 
-    errors = []
-    latencies = []
+    def run_pass(clients, requests, timed):
+        errors = []
+        latencies = []
 
-    def client(i):
-        try:
-            for r in range(args.requests):
-                t = time.time()
-                one(f"client {i} request {r} " + "pasta " * (r % 3))
-                latencies.append(time.time() - t)
-        except Exception as e:  # noqa: BLE001
-            errors.append(e)
+        def client(i):
+            try:
+                for r in range(requests):
+                    t = time.time()
+                    one(f"client {i} request {r} " + "pasta " * (r % 3))
+                    latencies.append(time.time() - t)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
 
-    base_calls, base_reqs = ((den.engine.calls, den.engine.requests)
-                             if den.engine else (0, 0))
-    t0 = time.time()
-    threads = [threading.Thread(target=client, args=(i,))
-               for i in range(args.clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.time() - t0
-    assert not errors, errors[:1]
+        base_calls, base_reqs = ((den.engine.calls, den.engine.requests)
+                                 if den.engine else (0, 0))
+        t0 = time.time()
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.time() - t0
+        assert not errors, errors[:1]
+        if not timed:
+            return None
 
-    total = args.clients * args.requests
-    calls = (den.engine.calls - base_calls) if den.engine else total
-    served = (den.engine.requests - base_reqs) if den.engine else total
-    print(json.dumps({
-        "metric": "denoise_requests_per_sec",
-        "value": round(total / dt, 3), "unit": "req/s",
-        "clients": args.clients, "requests": total,
-        "wall_s": round(dt, 2),
-        "sampler_calls": calls,
-        "mean_batch": round(served / max(calls, 1), 2),
-        "batch_window_ms": args.batch_window,
-        "p50_s": round(sorted(latencies)[len(latencies) // 2], 2),
-        "p95_s": round(sorted(latencies)[
-            min(len(latencies) - 1, int(len(latencies) * 0.95))], 2),
-    }))
+        total = clients * requests
+        calls = (den.engine.calls - base_calls) if den.engine else total
+        served = (den.engine.requests - base_reqs) if den.engine else total
+        lat = sorted(latencies)
+        return {
+            "metric": "denoise_requests_per_sec",
+            "value": round(total / dt, 3), "unit": "req/s",
+            "clients": clients, "requests": total,
+            "wall_s": round(dt, 2),
+            "sampler_calls": calls,
+            "mean_batch": round(served / max(calls, 1), 2),
+            "batch_window_ms": (engine.window * 1000.0 if den.engine else 0.0),
+            "p50_s": round(lat[len(lat) // 2], 2),
+            "p95_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 2),
+        }
+
+    if args.sweep:
+        legs = []
+        for leg in args.sweep.split(","):
+            window, clients = leg.strip().split("x")
+            legs.append((float(window), int(clients)))
+        for window, clients in legs:
+            den.engine = engine if window > 0 else None
+            if den.engine:
+                den.engine.window = window / 1000.0
+            print(f"# leg window={window} clients={clients}: warm",
+                  flush=True)
+            run_pass(clients, args.requests, timed=False)
+            print(f"# leg window={window} clients={clients}: measured",
+                  flush=True)
+            print(json.dumps(run_pass(clients, args.requests, timed=True)),
+                  flush=True)
+        den.engine = engine
+    else:
+        if args.batch_window <= 0:
+            den.engine = None
+        print(json.dumps(run_pass(args.clients, args.requests, timed=True)))
     server.shutdown()
 
 

@@ -62,6 +62,11 @@ def main(argv=None):
 
     from merlot_tpu.tools.denoise_server import Denoiser, make_handler
 
+    class Server(ThreadingHTTPServer):
+        # default listen backlog (5) resets connections when >5 clients
+        # connect in the same instant (observed at the 16-client leg)
+        request_queue_size = 128
+
     cfg_path = args.config
     if cfg_path is None:
         f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
@@ -78,8 +83,7 @@ def main(argv=None):
                    max_batch=args.max_batch)
     engine = den.engine  # the sweep toggles den.engine per leg
     log_path = tempfile.mktemp(suffix=".jsonl")
-    server = ThreadingHTTPServer(("127.0.0.1", 0),
-                                 make_handler(den, log_path))
+    server = Server(("127.0.0.1", 0), make_handler(den, log_path))
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 

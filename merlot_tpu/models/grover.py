@@ -418,9 +418,16 @@ def top_p_sample(key: jax.Array, logits: jnp.ndarray, p: float,
     cheapest stage whose top-k provably contains the row's nucleus. Every
     stage samples the exact reference distribution for the rows it serves
     (exact full-vocab softmax via the logsumexp denominator), so per-row
-    marginals always match the reference exactly; each stage draws from an
-    independent fold of ``key`` so mixed-stage batches stay independent
-    across rows. The all-rows-fit fast path is unchanged (one lax.cond,
+    marginals always match the reference exactly; ladder stages i>=1 draw
+    from independent folds of ``key`` so mixed-stage batches stay
+    independent across rows — with ONE pinned exception: when the full
+    sort is the IMMEDIATE fallback after stage 0 (k_prefilter*8 >= vocab,
+    so no intermediate stage exists), it reuses the raw key so its output
+    bit-matches ``_top_p_full_sort(key)``
+    (test_top_p_prefilter_matches_full_sort's contract); in that one
+    configuration, rows served by stage 0 and rows served by the full
+    sort share underlying random bits — per-row marginals are still
+    exact. The all-rows-fit fast path is unchanged (one lax.cond,
     nothing else computed). At the default k=128 the ladder is
     128 -> 1024 -> 8192 -> full sort (the default moved 1024 -> 128 after
     the round-4 decode profile showed lax.top_k(1024) was ~8% of the b8
@@ -655,11 +662,20 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
                          eos_token: int = 3,
                          ignore_pad_only: bool = True,
                          k_prefilter: int = 128,
-                         sample_rng_impl: str = "auto"):
+                         sample_rng_impl: str = "auto",
+                         report_probs: bool = True):
     """Build a jitted seq2seq sampler.
 
     fn(params, initial_context [B, L0] (pad = generate here), key)
       -> (tokens [B, max_len], probs [B, max_len])
+
+    report_probs: when False, the per-position token-probability chain
+    (a full-vocab logsumexp + gather + exp per decode step, plus the
+    chunked context-prob pass after prefill — the reference's prev_probs,
+    :694-810) is skipped and the returned probs are all-zero. The serving
+    path needs probs for context perplexity; pure-generation callers
+    don't, and the chain is measurable convert/reduce time in the
+    latency-bound decode loop (round-4 decode profile, PERF.md).
 
     prefix_len must be a static int <= every row's context length (the
     reference uses min over non-empty rows, :834-838): positions <
@@ -705,7 +721,7 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
         tgt = initial_context[:, 1:prefix_len]
         chunk = 128
         pieces = []
-        for c0 in range(0, prefix_len - 1, chunk):
+        for c0 in range(0, prefix_len - 1, chunk) if report_probs else ():
             c1 = min(c0 + chunk, prefix_len - 1)
             lg = lm_logits_for_hidden(params, cfg, h[:, c0:c1])
             lse = jax.scipy.special.logsumexp(lg, axis=-1)
@@ -726,6 +742,8 @@ def make_seq2seq_sampler(model: GroverLM, max_len: int, prefix_len: int,
                 initial_context, jnp.minimum(pos, l0 - 1), 1, axis=1)[:, 0]
             use_ctx = in_ctx & (ctx_tok != cfg.pad_token_id)
             tok = jnp.where(use_ctx, ctx_tok, sampled)
+            if not report_probs:
+                return tok, jnp.zeros((b,), jnp.float32)
             # softmax(logits)[tok] as exp(logit - logsumexp): one reduce
             # instead of a full-vocab probs tensor in the decode loop
             # (the loop body is latency-bound small ops — PERF.md round 4

@@ -155,13 +155,16 @@ def _avg_pool_reshape(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """
     b, h, w, c = x.shape
     y = x.reshape(b, h // window, window, w // window, window, c)
-    # accumulate in the INPUT dtype: jnp.mean's default f32 accumulation
-    # forces a full-size f32 materialization of the (ReLU+cast) producer
-    # around every pool site — profiled at several ms/step of pure HBM
-    # traffic in the ResNet stem (PERF.md round 4). A 4-element bf16 mean
-    # loses <1 ulp and matches tf.nn.avg_pool's bf16 accumulation
-    # (the reference pools bf16 activations, vision_transformer.py:84-90).
-    return jnp.mean(y, axis=(2, 4), dtype=x.dtype)
+    # window==2: accumulate in the INPUT dtype — jnp.mean's default f32
+    # accumulation forces a full-size f32 materialization of the
+    # (ReLU+cast) producer around every pool site, profiled at several
+    # ms/step of pure HBM traffic in the ResNet stem (PERF.md round 4).
+    # A 4-element bf16 mean loses <1 ulp and matches tf.nn.avg_pool's
+    # bf16 accumulation (reference vision_transformer.py:84-90). Wider
+    # windows sum window^2 values, so the rounding claim no longer holds:
+    # accumulate those in f32 (no such call site exists today).
+    acc = x.dtype if window <= 2 else jnp.float32
+    return jnp.mean(y, axis=(2, 4), dtype=acc).astype(x.dtype)
 
 
 def avg_pool_same(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:

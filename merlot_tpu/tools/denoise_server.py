@@ -19,6 +19,7 @@ import argparse
 import json
 import os
 import queue
+import signal
 import threading
 import time
 from concurrent.futures import Future
@@ -258,6 +259,23 @@ class BatchingEngine:
             self.requests += len(batch)
 
 
+class DenoiseHTTPServer(ThreadingHTTPServer):
+    """Production socket settings for the serving frontend.
+
+    The reference serves through Flask+gevent (run_server.py:148-154), an
+    event loop that holds hundreds of pending connections. stdlib
+    HTTPServer's default listen(5) RESETS connections when more than ~5
+    clients connect in the same instant (observed in the round-4 serving
+    sweep) — raise the accept backlog so bursts queue instead of failing.
+    Handler threads are non-daemon and ``block_on_close`` is on, so
+    ``shutdown()`` + ``server_close()`` drain in-flight requests (each one
+    appends + flushes its own JSONL record) before the process exits."""
+
+    request_queue_size = int(os.environ.get("DENOISE_BACKLOG", "128"))
+    daemon_threads = False
+    block_on_close = True
+
+
 def make_handler(denoiser: Denoiser, log_path: str):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -316,7 +334,12 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16-stored weights + KV cache (~2.5x decode)")
     ap.add_argument("--k_prefilter", type=int, default=128,
-                    help="top-p sort prefilter (0 = full-vocab sort)")
+                    help="top-p sort prefilter (0 = full-vocab sort). The "
+                         "128 default assumes a PEAKED model (nucleus of "
+                         "tens of tokens at p=0.94); a flatter model whose "
+                         "nuclei routinely exceed 128 escalates the whole "
+                         "batch up the top-k ladder each step — set 1024 "
+                         "if /stats shows slow steps with real weights")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree over visible devices")
     ap.add_argument("--no_fuse_qkv", action="store_true",
@@ -337,10 +360,24 @@ def main(argv=None):
                         fuse_qkv=not args.no_fuse_qkv,
                         batch_window_ms=args.batch_window,
                         max_batch=args.max_batch)
-    server = ThreadingHTTPServer(("0.0.0.0", args.port),
-                                 make_handler(denoiser, args.log))
-    print(f"READY FOR GENERATION on :{args.port}", flush=True)
+    server = DenoiseHTTPServer(("0.0.0.0", args.port),
+                               make_handler(denoiser, args.log))
+
+    def _drain(signum, frame):
+        # shutdown() must come from another thread (the main thread is
+        # inside serve_forever); server_close() then joins the in-flight
+        # handler threads so every accepted request finishes and logs.
+        print(f"[denoise-server] signal {signum}: draining in-flight "
+              "requests...", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
+    print(f"READY FOR GENERATION on :{args.port} "
+          f"(backlog {server.request_queue_size})", flush=True)
     server.serve_forever()
+    server.server_close()  # joins handler threads (block_on_close)
+    print("[denoise-server] drained, exiting", flush=True)
 
 
 if __name__ == "__main__":

@@ -332,6 +332,16 @@ def test_seq2seq_sampler_force_feeds_context(rng):
     probs = np.asarray(probs)
     assert ((probs >= 0) & (probs <= 1)).all()
 
+    # pure-generation mode: identical token stream (the prob chain draws
+    # no random bits), probs suppressed (VERDICT r4 #6)
+    sampler_np = make_seq2seq_sampler(model, max_len=16, prefix_len=6,
+                                      p_for_topp=0.95, eos_token=50266,
+                                      report_probs=False)
+    tokens2, probs2 = sampler_np(variables, jnp.asarray(ctx),
+                                 jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(tokens2), tokens)
+    assert (np.asarray(probs2) == 0).all()
+
 
 def test_denoiser_service_roundtrip(tmp_path):
     """Drive the HTTP service end-to-end with a tiny random model."""

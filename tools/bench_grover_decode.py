@@ -15,6 +15,10 @@ tokens/s for the prefill+decode sampler at several batch sizes and knobs:
   GROVER_STACKKV=1  one stacked [B,L,2H] KV buffer per layer (one cache write
                     per step, kernel reads it directly; default 1)
   GROVER_ATTN=auto  cached-attention backend: auto|xla|pallas (grover.DECODE_ATTN)
+  GROVER_PROBS=1    report per-token probs (serving ppl path; default 1).
+                    0 = pure-generation mode: skips the per-step
+                    logsumexp+gather chain (make_seq2seq_sampler
+                    report_probs=False)
   GROVER_TOPP=p     nucleus p (default 0.94). NB with RANDOM weights logits
                     are near-uniform, so the nucleus needs ~p*V tokens: at
                     p=0.94 the prefilter falls back to the full sort every
@@ -58,6 +62,7 @@ def main():
     gen = int(os.environ.get("GROVER_GEN", "192"))
     prefix = int(os.environ.get("GROVER_PREFIX", "1024"))
     topp = float(os.environ.get("GROVER_TOPP", "0.94"))
+    report_probs = os.environ.get("GROVER_PROBS", "1") == "1"
 
     cfg = GroverConfig.from_json_file(
         os.path.join(os.path.dirname(__file__), "..", "configs",
@@ -68,7 +73,8 @@ def main():
 
     print(f"grover-medium decode bench: bf16={bf16} k_prefilter={kpre} "
           f"prefix={prefix} gen={gen} fused_qkv={fuseqkv} "
-          f"stacked_kv={stackkv} attn={grover_mod.DECODE_ATTN}", flush=True)
+          f"stacked_kv={stackkv} attn={grover_mod.DECODE_ATTN} "
+          f"report_probs={report_probs}", flush=True)
 
     ids0 = jnp.zeros((1, 8), jnp.int32)
     t0 = time.time()
@@ -90,7 +96,8 @@ def main():
         for g in (gen_lo, gen):
             fn = make_seq2seq_sampler(model, max_len=prefix + g,
                                       prefix_len=prefix, p_for_topp=topp,
-                                      eos_token=-1, k_prefilter=kpre)
+                                      eos_token=-1, k_prefilter=kpre,
+                                      report_probs=report_probs)
             toks, _ = fn(params, ctx, key)       # compile + warm
             float(np.asarray(toks[0, -1]))
             best = float("inf")

@@ -236,7 +236,13 @@ def main():
         remat_policy=os.environ.get("BENCH_REMAT_POLICY") or None,
         attention_softmax_fp32=os.environ.get("BENCH_SOFTMAX_FP32", "0") == "1",
         fuse_ln_matmul=os.environ.get("BENCH_LN_FUSION", "0") == "1",
-        fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1")
+        fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
+        # canonical fused tree: one attention/qkv param per attention,
+        # no apply-time concat (the thing the r4 fused_qkv A/B measured)
+        fused_qkv_params=os.environ.get("BENCH_QKV_PARAMS", "0") == "1",
+        # stem conv as s2d(2) + 2x2 stride-1 (identical math, wider MXU
+        # contraction at the RGB stem)
+        stem_space_to_depth=os.environ.get("BENCH_STEM_S2D", "0") == "1")
     batch_sizes = tuple(
         int(x) for x in os.environ.get("BENCH_BATCH", "8,4,2,1").split(","))
     num_chunks = 16

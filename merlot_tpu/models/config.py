@@ -86,6 +86,16 @@ class MerlotConfig:
     # one [H, 3H] q/k/v projection per attention (bit-identical outputs,
     # unchanged param tree; see TransformerHParams.fused_qkv)
     fused_qkv: bool = False
+    # canonical fused form: the param tree stores one attention/qkv
+    # entry per attention (no apply-time concat); checkpoints stay in
+    # the reference-split form via train/checkpoint.{fuse,unfuse}_qkv_tree
+    # at the save/restore boundary. See TransformerHParams.fused_qkv_params.
+    fused_qkv_params: bool = False
+    # run the RGB stem conv as a stride-1 2x2 conv over the
+    # space-to-depth input (mathematically identical, MXU-friendlier
+    # contraction dim; param tree/checkpoints unchanged). See
+    # nn.layers.WSConv.space_to_depth.
+    stem_space_to_depth: bool = False
 
     # checkpoint warm start
     init_checkpoint: Optional[str] = None

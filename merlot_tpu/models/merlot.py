@@ -97,12 +97,14 @@ class MerlotModel(nn.Module):
             dtype=dtype, scan_layers=c.scan_layers, remat=c.remat,
             remat_policy=c.remat_policy,
             softmax_fp32=c.attention_softmax_fp32,
-            fuse_ln_matmul=c.fuse_ln_matmul, fused_qkv=c.fused_qkv)
+            fuse_ln_matmul=c.fuse_ln_matmul, fused_qkv=c.fused_qkv,
+            fused_qkv_params=c.fused_qkv_params)
         self.vision_backbone = VisionBackbone(
             patch_size=c.patch_size, hidden_size=c.hidden_size,
             num_cls_emb=c.num_cls_emb, resnet_layers=tuple(c.resnet_layers),
             spatial_pool_size=c.spatial_pool_size, vit_hp=vit_hp,
             initializer_range=c.initializer_range, dtype=dtype,
+            stem_space_to_depth=c.stem_space_to_depth,
             name="vision_backbone")
 
         joint_hp = dataclasses.replace(vit_hp, num_layers=c.num_hidden_layers,

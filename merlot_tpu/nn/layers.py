@@ -94,6 +94,37 @@ class GroupNorm(nn.Module):
             else pallas_groupnorm.BACKEND)
 
 
+def _space_to_depth_fold(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
+                         bias=None) -> jnp.ndarray:
+    """Stride-2 3x3 conv as a stride-1 2x2 conv over the s2d(2) input.
+
+    With the reference's fixed_padding (pad (1,1) then VALID — see WSConv),
+    output position p reads input rows {2p-1, 2p, 2p+1}. Writing input
+    rows as blocks r = 2u + a (u block, a in {0,1}), those rows live in
+    blocks {p-1, p}: a 2x2 window over the space-to-depth tensor
+    X[u, v, (a, b, ci)], padded by one block at the top/left. The folded
+    kernel W2[A, B, (a, b, ci), co] = kernel[2A+a-1, 2B+b-1, ci, co]
+    (zero where an index is -1 — structural zeros, so every product that
+    contributes is identical to the original conv's; only the summation
+    order can differ by float non-associativity). Contraction dim per
+    output: 9*cin -> 16*cin of which 9*cin nonzero."""
+    b_, h, w, cin = x.shape
+    co = kernel.shape[-1]
+    X = x.reshape(b_, h // 2, 2, w // 2, 2, cin)
+    X = X.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h // 2, w // 2, 4 * cin)
+    kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # di=-1 -> row 0
+    W2 = kp.reshape(2, 2, 2, 2, cin, co)          # [A, a, B, b, ci, co]
+    W2 = W2.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * cin, co)
+    X = jnp.pad(X, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    y = lax.conv_general_dilated(
+        X.astype(dtype), W2.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class WSConv(nn.Module):
     """NHWC conv with optional weight standardization and fixed padding.
 
@@ -108,6 +139,17 @@ class WSConv(nn.Module):
     use_bias: bool = False
     padding: Optional[str] = None  # override; default per reference rule
     dtype: Dtype = jnp.bfloat16
+    # TPU stem fix for MXU-starved small-Cin convs (the classic
+    # space-to-depth transform): fold a stride-2 3x3 conv into a stride-1
+    # 2x2 conv over the 2x2-space-to-depth input — the im2col contraction
+    # dim grows 9*Cin -> 16*Cin (3->48 lanes of the MXU's 128 at the RGB
+    # stem) while FLOPs/output and results are mathematically identical
+    # (the folded kernel is the original kernel scattered with structural
+    # zeros; see _space_to_depth_fold). Param tree UNCHANGED — the
+    # rearrangement applies to the standardized kernel in the forward, so
+    # checkpoints are untouched. Only defined for kernel_size 3, stride 2,
+    # even spatial dims; silently falls back otherwise.
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +162,13 @@ class WSConv(nn.Module):
             (k, k, cin, self.features), jnp.float32)
         if self.weight_standardization:
             kernel = norms.standardize_kernel(kernel)
+
+        if (self.space_to_depth and k == 3 and self.strides == 2
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            return _space_to_depth_fold(x, kernel, self.dtype, bias)
 
         if self.padding is not None:
             padding = self.padding

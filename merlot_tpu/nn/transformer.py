@@ -93,6 +93,16 @@ class TransformerHParams:
     # three separate checkpoint params, concatenated at apply time.
     # Skipped on cross-attention (k/v read a different source).
     fused_qkv: bool = False
+    # CANONICAL fused form: the param tree itself stores ONE
+    # attention/qkv/{kernel [H,3H], bias [3H]} per attention (columns
+    # ordered q|k|v) instead of three query/key/value entries — no
+    # apply-time concat at all (the tax the fused_qkv A/B measured,
+    # PERF.md round 4). Checkpoints on disk stay in the reference-split
+    # form: train/checkpoint.fuse_qkv_tree / unfuse_qkv_tree convert at
+    # the save/restore boundary (exact slicing both ways). Self-attention
+    # only (cross-attention projects k/v from a different source);
+    # mutually exclusive with fused_qkv / fuse_ln_matmul.
+    fused_qkv_params: bool = False
 
 
 class SelfAttention(nn.Module):
@@ -140,6 +150,17 @@ class SelfAttention(nn.Module):
             q = q3.reshape(b, s, hp.num_heads, d_head)
             k = k3.reshape(b, s, hp.num_heads, d_head)
             v = v3.reshape(b, s, hp.num_heads, d_head)
+        elif hp.fused_qkv_params and x_enc is None:
+            # canonical fused tree: ONE [H, 3H] param (columns q|k|v) —
+            # same per-column dot products as three [H, H] projections,
+            # but no per-step kernel concat (PERF.md round 5)
+            assert not (hp.fused_qkv or hp.fuse_ln_matmul), \
+                "fused_qkv_params excludes fused_qkv/fuse_ln_matmul"
+            qkv = DenseTN(3 * hp.hidden_size, dtype=hp.dtype,
+                          initializer_range=hp.initializer_range,
+                          name="qkv")(x_norm)
+            q, k, v = (qkv[..., i * h:(i + 1) * h].reshape(
+                b, s, hp.num_heads, d_head) for i in range(3))
         elif hp.fused_qkv and x_enc is None:
             # one [H, 3H] matmul (see TransformerHParams.fused_qkv); the
             # submodules/names are identical to the unfused branch so the
@@ -155,6 +176,9 @@ class SelfAttention(nn.Module):
             q, k, v = (qkv[..., i * h:(i + 1) * h].reshape(
                 b, s, hp.num_heads, d_head) for i in range(3))
         else:
+            assert not hp.fused_qkv_params, \
+                "fused_qkv_params is self-attention only (cross-attention " \
+                "projects k/v from a different source)"
             kv_src = x_enc if x_enc is not None else x_norm
             q = proj("query", x_norm)
             k = proj("key", kv_src)

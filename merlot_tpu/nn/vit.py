@@ -97,12 +97,18 @@ class LiteResNet(nn.Module):
     width: int = 64
     dtype: Dtype = jnp.bfloat16
     gn_backend: Optional[str] = None
+    # run the RGB stem conv as a stride-1 2x2 conv over the s2d(2) input
+    # (mathematically identical, MXU-friendlier contraction; see
+    # layers.WSConv.space_to_depth). Param tree/checkpoints unchanged.
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.width
         gn = self.gn_backend
-        x = WSConv(w // 2, 3, strides=2, dtype=self.dtype, name="stem_conv0")(x)
+        x = WSConv(w // 2, 3, strides=2, dtype=self.dtype,
+                   space_to_depth=self.stem_space_to_depth,
+                   name="stem_conv0")(x)
         x = GroupNorm(name="stem_gn0")(x, relu=True, backend=gn)
         x = WSConv(w // 2, 3, strides=1, dtype=self.dtype, name="stem_conv1")(x)
         x = GroupNorm(name="stem_gn1")(x, relu=True, backend=gn)
@@ -137,6 +143,7 @@ class VisionBackbone(nn.Module):
     vit_hp: TransformerHParams = TransformerHParams()
     initializer_range: float = 0.02
     dtype: Dtype = jnp.bfloat16
+    stem_space_to_depth: bool = False  # see LiteResNet.stem_space_to_depth
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, *, deterministic: bool = True,
@@ -167,7 +174,9 @@ class VisionBackbone(nn.Module):
             gn = (pallas_groupnorm.BACKEND if deterministic
                   else pallas_groupnorm.TRAIN_BACKEND)
             c = LiteResNet(tuple(self.resnet_layers), width=64, dtype=self.dtype,
-                           gn_backend=gn, name="resnet")(img_norm)
+                           gn_backend=gn,
+                           stem_space_to_depth=self.stem_space_to_depth,
+                           name="resnet")(img_norm)
             x = WSConv(self.hidden_size, 1, weight_standardization=False,
                        use_bias=True, dtype=self.dtype, name="post_resnet_proj")(c)
 

@@ -69,6 +69,14 @@ _PARAM_RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
     # attention projections: shard the head dim
     (r"attention/(query|key|value)/kernel$", (None, "model")),
     (r"attention/(query|key|value)/bias$", ("model",)),
+    # canonical fused tree (TransformerHParams.fused_qkv_params): one
+    # [H, 3H] kernel, columns q|k|v. Sharding the 3H axis crosses the
+    # q/k/v boundaries when model>3 doesn't divide H blocks cleanly —
+    # GSPMD stays correct (it reshapes around the static slices) but TP
+    # configs should prefer the split form; this rule keeps fused+TP
+    # functional rather than silently replicating the largest kernels.
+    (r"attention/qkv/kernel$", (None, "model")),
+    (r"attention/qkv/bias$", ("model",)),
     (r"attention/out_proj/kernel$", ("model", None)),
     # MLP: shard the intermediate dim
     (r"mlp/intermediate/kernel$", (None, "model")),

@@ -32,6 +32,82 @@ def _flatten(tree) -> Dict[str, Any]:
     return flat
 
 
+# ---------------------------------------------------------------------------
+# Canonical fused-QKV boundary transforms (TransformerHParams.fused_qkv_params)
+#
+# The live param tree stores ONE attention/qkv/{kernel [..,H,3H], bias
+# [..,3H]} per attention (columns ordered q|k|v — no apply-time concat);
+# checkpoints ON DISK always keep the reference-split query/key/value form
+# so every existing consumer (TF converter maps, name-map oracle, warm
+# starts, downstream eval) reads them unchanged. Both transforms are exact
+# (pure concatenation/slicing), so save->restore round-trips bitwise —
+# including the Adam m/v trees, which mirror the params structure and are
+# transformed by the same structural walk.
+
+def _is_qkv_site(node) -> bool:
+    """A module dict that holds a fused qkv projection (and its out_proj
+    sibling, so arbitrary user dicts with a 'qkv' key don't match)."""
+    return (isinstance(node, dict) and "qkv" in node and "out_proj" in node
+            and isinstance(node["qkv"], dict) and "kernel" in node["qkv"])
+
+
+def _is_split_site(node) -> bool:
+    return (isinstance(node, dict) and "out_proj" in node
+            and all(k in node and isinstance(node[k], dict)
+                    and "kernel" in node[k]
+                    for k in ("query", "key", "value")))
+
+
+def tree_has_fused_qkv(tree) -> bool:
+    if _is_qkv_site(tree):
+        return True
+    if isinstance(tree, dict):
+        return any(tree_has_fused_qkv(v) for v in tree.values())
+    return False
+
+
+def fuse_qkv_tree(tree):
+    """reference-split on-disk form -> canonical fused live form.
+
+    Any {query,key,value,out_proj} attention site becomes {qkv,out_proj}
+    with kernel/bias concatenated on the LAST axis (works for both
+    unstacked [H,*] and scan-stacked [L,H,*] layouts)."""
+    if _is_split_site(tree):
+        q, k, v = tree["query"], tree["key"], tree["value"]
+        qkv = {"kernel": np.concatenate(
+            [np.asarray(q["kernel"]), np.asarray(k["kernel"]),
+             np.asarray(v["kernel"])], axis=-1)}
+        if "bias" in q:
+            qkv["bias"] = np.concatenate(
+                [np.asarray(q["bias"]), np.asarray(k["bias"]),
+                 np.asarray(v["bias"])], axis=-1)
+        rest = {kk: fuse_qkv_tree(vv) for kk, vv in tree.items()
+                if kk not in ("query", "key", "value")}
+        return {**rest, "qkv": qkv}
+    if isinstance(tree, dict):
+        return {kk: fuse_qkv_tree(vv) for kk, vv in tree.items()}
+    return tree
+
+
+def unfuse_qkv_tree(tree):
+    """canonical fused live form -> reference-split on-disk form."""
+    if _is_qkv_site(tree):
+        qkv = tree["qkv"]
+        kqs = np.split(np.asarray(qkv["kernel"]), 3, axis=-1)
+        parts = {name: {"kernel": kqs[i]}
+                 for i, name in enumerate(("query", "key", "value"))}
+        if "bias" in qkv:
+            bqs = np.split(np.asarray(qkv["bias"]), 3, axis=-1)
+            for i, name in enumerate(("query", "key", "value")):
+                parts[name]["bias"] = bqs[i]
+        rest = {kk: unfuse_qkv_tree(vv) for kk, vv in tree.items()
+                if kk != "qkv"}
+        return {**rest, **parts}
+    if isinstance(tree, dict):
+        return {kk: unfuse_qkv_tree(vv) for kk, vv in tree.items()}
+    return tree
+
+
 class CheckpointManager:
     """Step-numbered checkpoints under ``directory/ckpt_{step}``."""
 
@@ -45,10 +121,20 @@ class CheckpointManager:
         return os.path.join(self.directory, f"ckpt_{step}")
 
     def save(self, step: int, state) -> None:
+        # on-disk checkpoints ALWAYS keep the reference-split q/k/v form:
+        # a fused_qkv_params live tree is split here (exact slicing) so
+        # converters, name maps, warm starts and split-model consumers
+        # read every checkpoint unchanged
+        if tree_has_fused_qkv(state):
+            state = unfuse_qkv_tree(state)
         self._ckptr.save(self.path(step), state)
         self._ckptr.wait_until_finished()
 
     def restore(self, step: int, template=None):
+        if template is not None and tree_has_fused_qkv(template):
+            # live tree is canonical-fused, disk is split: raw restore,
+            # then concat (exact) back into the fused layout
+            return fuse_qkv_tree(self._ckptr.restore(self.path(step)))
         return self._ckptr.restore(self.path(step), target=template)
 
     def all_steps(self) -> List[int]:

@@ -72,6 +72,13 @@ class Trainer:
             ckptr = ocp.StandardCheckpointer()
             src = ckptr.restore(os.path.abspath(init_checkpoint))
             src_params = src.get("params", src)
+            from merlot_tpu.train.checkpoint import (fuse_qkv_tree,
+                                                     tree_has_fused_qkv)
+            if tree_has_fused_qkv(params) and not tree_has_fused_qkv(src_params):
+                # split-form warm-start source (reference-converted or
+                # split-trained) into a canonical-fused model: concat the
+                # q/k/v triples so the name intersection lines up
+                src_params = fuse_qkv_tree(src_params)
             params, _ = warm_start(params, src_params)
         if self.zero1:
             from merlot_tpu.parallel.mesh import shard_opt_state, shard_params

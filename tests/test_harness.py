@@ -138,6 +138,71 @@ def test_resume_is_bit_exact(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_fused_qkv_params_trains_and_resumes(tmp_path, rng):
+    """A fused_qkv_params model trains through the Trainer, writes
+    reference-split checkpoints on disk, and resume is bit-exact through
+    the fuse/unfuse boundary (params AND bf16 Adam state). VERDICT r4 #1."""
+    import dataclasses
+    from merlot_tpu.train.checkpoint import tree_has_fused_qkv
+
+    cfg = dataclasses.replace(CFG, fused_qkv_params=True)
+    model = MerlotPretrainModel(cfg)
+    opt = MerlotAdamW(AdamWConfig(learning_rate=1e-3, num_train_steps=10,
+                                  num_warmup_steps=0, clip_norm=0.0))
+    b = _batch(rng)
+
+    t1 = Trainer(model, opt, output_dir=str(tmp_path / "a"),
+                 log_every=10, checkpoint_every=10)
+    p1, s1 = t1.init_state(b)
+    assert tree_has_fused_qkv(p1)
+    p1, s1 = t1.run(p1, s1, (b for _ in range(4)), num_steps=4)
+
+    t2 = Trainer(model, opt, output_dir=str(tmp_path / "b"),
+                 log_every=10, checkpoint_every=2)
+    p2, s2 = t2.init_state(b)
+    p2, s2 = t2.run(p2, s2, (b for _ in range(2)), num_steps=2)
+    # the on-disk checkpoint is reference-split (raw restore, no template)
+    raw = t2.ckpt.restore(2)
+    assert not tree_has_fused_qkv(raw)
+    # resume: restore fuses back and the trajectory is identical
+    t3 = Trainer(model, opt, output_dir=str(tmp_path / "b"),
+                 log_every=10, checkpoint_every=10)
+    p3, s3 = t3.init_state(b)
+    assert int(jax.device_get(s3["step"])) == 2
+    assert tree_has_fused_qkv(p3)
+    p3, s3 = t3.run(p3, s3, (b for _ in range(2)), num_steps=4)
+    for a, c in zip(jax.tree.leaves(jax.device_get(p1)),
+                    jax.tree.leaves(jax.device_get(p3))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree.leaves(jax.device_get(s1)),
+                    jax.tree.leaves(jax.device_get(s3))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # a SPLIT model warm-starts from the fused run's checkpoint directly
+    split_model = MerlotPretrainModel(CFG)
+    t4 = Trainer(split_model, opt, output_dir=str(tmp_path / "c"),
+                 log_every=10, checkpoint_every=10)
+    p4, _ = t4.init_state(b, init_checkpoint=t2.ckpt.path(2))
+    flat1 = {"/".join(str(getattr(k, "key", k)) for k in kp): l
+             for kp, l in jax.tree_util.tree_flatten_with_path(raw["params"])[0]}
+    flat4 = {"/".join(str(getattr(k, "key", k)) for k in kp): l
+             for kp, l in jax.tree_util.tree_flatten_with_path(
+                 jax.device_get(p4))[0]}
+    assert set(flat1) == set(flat4)
+    for k in flat1:
+        np.testing.assert_array_equal(np.asarray(flat1[k]),
+                                      np.asarray(flat4[k]))
+
+    # and the FUSED model warm-starts from a split checkpoint (the
+    # reference-converted-weights path): harness fuses the source tree
+    t5 = Trainer(model, opt, output_dir=str(tmp_path / "d"),
+                 log_every=10, checkpoint_every=10)
+    p5, _ = t5.init_state(b, init_checkpoint=t2.ckpt.path(2))
+    for a, c in zip(jax.tree.leaves(jax.device_get(p2)),
+                    jax.tree.leaves(jax.device_get(p5))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_nan_guard_blocks_checkpoint(tmp_path, rng):
     """A non-finite loss at a checkpoint step must raise BEFORE the write —
     even when checkpoint_every < log_every (round-1 gap: the guard only

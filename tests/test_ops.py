@@ -66,6 +66,33 @@ def test_weight_standardization(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_wsconv_space_to_depth_equivalent(rng):
+    """space_to_depth folds the stride-2 3x3 stem conv into a stride-1
+    2x2 conv over the s2d input — same products, possibly different
+    summation order (layers._space_to_depth_fold); gradients must agree
+    too since this is a training-path knob. Odd spatial dims fall back to
+    the standard path exactly."""
+    from merlot_tpu.nn.layers import WSConv
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 3)), jnp.float32)
+    conv = WSConv(8, 3, strides=2, dtype=jnp.float32)
+    conv_s = WSConv(8, 3, strides=2, dtype=jnp.float32, space_to_depth=True)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(conv.apply(v, x))
+    y_s = np.asarray(conv_s.apply(v, x))  # identical param tree
+    assert y.shape == y_s.shape == (2, 8, 12, 8)
+    np.testing.assert_allclose(y, y_s, rtol=2e-5, atol=2e-5)
+
+    g = jax.grad(lambda v: jnp.sum(conv.apply(v, x) ** 2))(v)
+    g_s = jax.grad(lambda v: jnp.sum(conv_s.apply(v, x) ** 2))(v)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    x_odd = jnp.asarray(rng.standard_normal((2, 15, 23, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(conv.apply(v, x_odd)),
+                                  np.asarray(conv_s.apply(v, x_odd)))
+
+
 def test_cross_entropy_matches_torch(rng):
     logits = rng.standard_normal((6, 11)).astype(np.float32)
     labels = rng.integers(0, 11, size=6)

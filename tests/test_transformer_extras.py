@@ -138,3 +138,82 @@ def test_fused_qkv_matches_unfused(rng):
     # init under the fused path produces the identical tree
     v_f = enc_f.init(jax.random.PRNGKey(0), x, mask)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_f)
+
+
+def test_fused_qkv_params_canonical_tree(rng):
+    """fused_qkv_params stores ONE attention/qkv param per attention; a
+    split tree fused by the boundary transform reproduces the split
+    model's hidden states bit-identically, and the transforms round-trip
+    bitwise (both plain and scan-stacked layouts)."""
+    import dataclasses
+    from merlot_tpu.train.checkpoint import (fuse_qkv_tree,
+                                             tree_has_fused_qkv,
+                                             unfuse_qkv_tree)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    mask = jnp.ones((2, 5, 5), jnp.float32)
+    enc = TransformerEncoder(HP)
+    v = enc.init(jax.random.PRNGKey(0), x, mask)
+    enc_c = TransformerEncoder(dataclasses.replace(HP, fused_qkv_params=True))
+    v_c = jax.tree.map(np.asarray, fuse_qkv_tree(jax.tree.map(np.asarray, v)))
+    assert tree_has_fused_qkv(v_c) and not tree_has_fused_qkv(v)
+    o = np.asarray(enc.apply(v, x, mask)["hidden_state"])
+    o_c = np.asarray(enc_c.apply(v_c, x, mask)["hidden_state"])
+    np.testing.assert_array_equal(o, o_c)
+
+    # the fused init builds the same tree structure the transform does
+    v_init = enc_c.init(jax.random.PRNGKey(0), x, mask)
+    assert (jax.tree_util.tree_structure(jax.tree.map(np.asarray, v_init))
+            == jax.tree_util.tree_structure(v_c))
+
+    # round-trips are bitwise
+    back = unfuse_qkv_tree(v_c)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                jax.tree.map(np.asarray, v))[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # scan-stacked layout: leading layer axis, concat still on the last
+    hp_s = dataclasses.replace(HP, scan_layers=True)
+    v_s = TransformerEncoder(hp_s).init(jax.random.PRNGKey(0), x, mask)
+    v_s = jax.tree.map(np.asarray, v_s)
+    v_sf = fuse_qkv_tree(v_s)
+    enc_sf = TransformerEncoder(dataclasses.replace(
+        hp_s, fused_qkv_params=True))
+    o_s = np.asarray(TransformerEncoder(hp_s).apply(v_s, x, mask)["hidden_state"])
+    o_sf = np.asarray(enc_sf.apply(v_sf, x, mask)["hidden_state"])
+    np.testing.assert_array_equal(o_s, o_sf)
+
+
+def test_fused_qkv_params_checkpoint_boundary(rng, tmp_path):
+    """Checkpoints written by a fused_qkv_params run are reference-split
+    ON DISK (a split model restores them directly); restoring into a
+    fused template concats back bitwise. VERDICT r4 #1."""
+    import dataclasses
+    from merlot_tpu.train.checkpoint import (CheckpointManager,
+                                             tree_has_fused_qkv)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    mask = jnp.ones((2, 5, 5), jnp.float32)
+    enc_c = TransformerEncoder(dataclasses.replace(HP, fused_qkv_params=True))
+    v_c = jax.tree.map(np.asarray, enc_c.init(jax.random.PRNGKey(3), x, mask))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(7, {"params": v_c["params"]})
+
+    raw = mgr.restore(7)  # no template: the literal on-disk tree
+    assert not tree_has_fused_qkv(raw)
+    enc_split = TransformerEncoder(HP)
+    o_split = np.asarray(enc_split.apply(
+        {"params": raw["params"]}, x, mask)["hidden_state"])
+
+    got = mgr.restore(7, {"params": v_c["params"]})
+    assert tree_has_fused_qkv(got)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v_c["params"])[0],
+            jax.tree_util.tree_flatten_with_path(got["params"])[0]):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o_fused = np.asarray(enc_c.apply(
+        {"params": got["params"]}, x, mask)["hidden_state"])
+    np.testing.assert_array_equal(o_split, o_fused)

@@ -4,11 +4,19 @@ Times each distinct conv shape of the (3,4,9) LiteResNet standalone —
 forward and forward+backward — and prints achieved TF/s against the v5e
 bf16 peak (197), plus the whole-net FLOP-weighted expectation. This is
 the conv analogue of PERF.md round-2's matmul reality probes: it pins
-WHICH conv class eats the ResNet's 84 ms fwd+bwd (VERDICT r3 #3) before
-any layout experiment is built. DCE-proofed by a host transfer of one
-output element per timed loop.
+WHICH conv class eats the ResNet's ~80 ms fwd+bwd (VERDICT r3 #3 / r4 #2)
+before any layout experiment is built.
 
-Usage (on the chip): python tools/bench_convs.py [n_frames]
+Methodology (v2): the round-4 version timed one dispatch per iteration,
+which over the axon tunnel has a ~1.6-2.5 ms per-call floor that swamped
+every conv (all 21 classes "measured" ~2 ms regardless of a 40x FLOP
+spread). Now each timed unit is ONE jitted lax.scan of N iterations with
+a serial data dependence through the WEIGHTS (w * (1 + acc * 1e-30) — a
+no-op in bf16 numerics but opaque to XLA's simplifier, so iterations
+can't be CSE'd or folded), with a host transfer of the carry for sync.
+Per-iteration time is then pure device time at dispatch cost N-amortized.
+
+Usage (on the chip): python tools/bench_convs.py [n_frames] [n_iters]
 """
 
 from __future__ import annotations
@@ -55,6 +63,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     rng = np.random.default_rng(0)
     peak = 197e12
 
@@ -70,17 +79,22 @@ def main():
                 preferred_element_type=jnp.bfloat16)
         return f
 
-    def bench(f, *args, n=20):
-        out = f(*args)
-        float(jax.tree.leaves(out)[0].reshape(-1)[0])  # sync (axon: no block_until_ready)
-        t0 = time.time()
-        for _ in range(n):
-            out = f(*args)
-        float(jax.tree.leaves(out)[0].reshape(-1)[0])
-        return (time.time() - t0) / n
+    def timed(fn, *args):
+        """One warm (compile) call, then min over 3 timed calls; each call
+        is one jitted N-iteration scan, synced by a host transfer."""
+        out = fn(*args)
+        float(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*args)
+            float(out)
+            best = min(best, time.time() - t0)
+        return best / n
 
     tot_fwd = tot_bwd = 0.0
     exp_fwd = exp_bwd = 0.0
+    print(f"scan-amortized ({n} iters/launch), batch {b} frames")
     print(f"{'conv':<28} {'GF(fwd)':>8} {'fwd ms':>8} {'TF/s':>6} "
           f"{'f+b ms':>8} {'TF/s':>6} {'xN':>3}")
     for name, h, w, cin, cout, k, stride, cnt in SHAPES:
@@ -91,16 +105,32 @@ def main():
         ho, wo = h // stride, w // stride
         gflop = 2 * k * k * cin * cout * ho * wo * b / 1e9
 
-        fwd = jax.jit(f)
-        t_f = bench(fwd, x, wt)
-        # fwd+bwd wrt (x, w): 3x the fwd FLOPs (dx conv + dw correlation)
-        g = jax.jit(jax.grad(
-            lambda x, w: jnp.sum(f(x, w).astype(jnp.float32) ** 2),
-            argnums=(0, 1)))
-        t_b = bench(g, x, wt)
+        def loop_fwd(x, wt, f=f):
+            def body(acc, _):
+                # (1 + acc*1e-30) == 1.0 in bf16 but is opaque to XLA,
+                # so the conv can't be hoisted/CSE'd across iterations;
+                # the carry serializes them
+                y = f(x, wt * (1.0 + acc * 1e-30).astype(wt.dtype))
+                return acc + y.reshape(-1)[0].astype(jnp.float32) * 1e-20, ()
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=n)
+            return acc
+
+        def loop_fb(x, wt, f=f):
+            def one(acc, _):
+                def loss(x, wt):
+                    y = f(x, wt * (1.0 + acc * 1e-30).astype(wt.dtype))
+                    return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-20
+                l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, wt)
+                return acc + l + gx.reshape(-1)[0].astype(jnp.float32) \
+                    + gw.reshape(-1)[0].astype(jnp.float32), ()
+            acc, _ = lax.scan(one, jnp.float32(0), None, length=n)
+            return acc
+
+        t_f = timed(jax.jit(loop_fwd), x, wt)
+        t_b = timed(jax.jit(loop_fb), x, wt)
         print(f"{name:<28} {gflop:8.1f} {t_f * 1e3:8.2f} "
               f"{gflop / 1e3 / t_f:6.1f} {t_b * 1e3:8.2f} "
-              f"{3 * gflop / 1e3 / t_b:6.1f} {cnt:3d}")
+              f"{3 * gflop / 1e3 / t_b:6.1f} {cnt:3d}", flush=True)
         tot_fwd += cnt * t_f
         tot_bwd += cnt * t_b
         exp_fwd += cnt * gflop

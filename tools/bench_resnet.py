@@ -4,7 +4,9 @@ The hybrid LiteResNet stem is the largest non-attention block of the
 training step (88.8 ms of the 409 ms step at B8, PERF.md round 4).
 Usage (on the chip):
     python tools/bench_resnet.py [n_frames]
-Knobs: RESNET_GN_BWD=xhat|stats (ops/norms.py backward formulation).
+Knobs: RESNET_GN_BWD=xhat|stats (ops/norms.py backward formulation),
+RESNET_S2D=1 (stem conv0 as space-to-depth + 2x2 stride-1 — identical
+math, MXU-friendlier contraction; layers.WSConv.space_to_depth).
 """
 
 import os
@@ -48,7 +50,9 @@ def main():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-0.5, 0.5, (n_frames, 192, 352, 3)),
                          jnp.float32)
-    rn = LiteResNet((3, 4, 9), dtype=jnp.bfloat16)
+    s2d = os.environ.get("RESNET_S2D", "0") == "1"
+    print(f"stem_space_to_depth={s2d}", flush=True)
+    rn = LiteResNet((3, 4, 9), dtype=jnp.bfloat16, stem_space_to_depth=s2d)
     v = jax.jit(lambda x: rn.init(jax.random.PRNGKey(0), x))(images)
 
     fwd = jax.jit(lambda v, x: rn.apply(v, x))

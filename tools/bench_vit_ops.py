@@ -1,23 +1,26 @@
 """Per-op-class probes for the transformer towers at pretrain shapes.
 
-The conv analogue (`bench_convs.py` v2) closed the ResNet question by
-measuring every conv class against the v5e bf16 peak; this tool does the
-same for the remaining ~75% of the step — the three transformer towers
-(ViT 128x266, joint 32x396, lang 8x512 at the flagship B8 config;
-reference dims: model/configs/merlot.yaml + utils/transformer.py:61-118).
-Each distinct matmul class, the pallas attention kernel at each tower
-shape, and the LN+residual elementwise chain are timed fwd and fwd+bwd,
-scan-amortized (the axon tunnel has a ~2 ms per-launch floor; each timed
-unit is ONE jitted lax.scan of N iterations with a serial weight/input
-dependence `w * (1 + acc * 1e-30)` — bf16 no-op, opaque to XLA's
-simplifier — so iterations can't be CSE'd), and reported as achieved
-TF/s against the 197 TF/s v5e bf16 peak (elementwise: GB/s against the
-~819 GB/s HBM peak). The per-class numbers times the per-net counts give
-the op-class ceiling each PERF.md bucket sits at — the round-5 MFU
-ledger's denominator (VERDICT r4 #1/#9).
+The conv analogue (`bench_convs.py` v2) measured every conv class of the
+vision stem; this tool covers the remaining ~75% of the step — the three
+transformer towers (ViT 128x266, joint 32x396, lang 8x512 at the
+flagship B8 config; reference dims: model/configs/merlot.yaml +
+utils/transformer.py:61-118) plus the masked-LM head.
+
+Methodology (v2, CHAIN-SLOPE — supersedes the scan-amortized v1 in git
+history): `bench_scan_floor.py` showed the axon launch overhead is a
+per-LAUNCH constant C that is neither small (~25 ms this session; the
+"~2 ms" in older PERF notes was a different session) nor stable, so
+per-iteration scan amortization leaves every class under ~40 GF pinned
+at C/n. Instead each timed unit is one jitted lax.scan (n iters, serial
+carry dependence so iterations can't be CSE'd) whose BODY applies the op
+R times in a serial chain with distinct weights; the per-op time is the
+slope (t[R_hi] - t[R_lo]) / ((R_hi - R_lo) * n), which cancels C exactly
+(same trick as the decode bench's gen-length slope). Reported as
+achieved TF/s against the 197 TF/s v5e bf16 peak (elementwise: GB/s
+against the ~819 GB/s HBM peak).
 
 f+b FLOP convention matches bench_convs: matmul bwd = 2x fwd (dx + dw),
-attention bwd = 2.5x fwd (flash recompute), stated per row.
+attention bwd = 2.5x fwd (flash recompute), stated per op.
 
 Usage (on the chip): python tools/bench_vit_ops.py [n_iters]
 """
@@ -29,39 +32,42 @@ import time
 
 import numpy as np
 
-# matmul classes: (name, M, K, N, count_per_step)
-# counts: 12 layers/tower; q,k,v,out = 4 proj/layer; mlp in+out = 1 each.
+# tower matmul classes. The mlp row measures the in+out PAIR (768->3072
+# ->768) because that is the chainable unit; its GF/count are per pair.
+# proj rows chain square [768,768] matmuls; xN = per-step occurrence.
 MATMULS = [
-    ("vit proj 768x768", 128 * 266, 768, 768, 48),
-    ("vit mlp_in 768->3072", 128 * 266, 768, 3072, 12),
-    ("vit mlp_out 3072->768", 128 * 266, 3072, 768, 12),
-    ("joint proj 768x768", 32 * 396, 768, 768, 48),
-    ("joint mlp_in 768->3072", 32 * 396, 768, 3072, 12),
-    ("joint mlp_out 3072->768", 32 * 396, 3072, 768, 12),
-    ("lang proj 768x768", 8 * 512, 768, 768, 48),
-    ("lang mlp_in 768->3072", 8 * 512, 768, 3072, 12),
-    ("lang mlp_out 3072->768", 8 * 512, 3072, 768, 12),
-    # masked-LM head: 32 joint rows x int(128 * 0.2) = 25 masked positions
-    ("lm_head 800x768x50370", 800, 768, 50370, 1),
+    ("vit proj 768x768", 128 * 266, 48),
+    ("joint proj 768x768", 32 * 396, 48),
+    ("lang proj 768x768", 8 * 512, 48),
+]
+MLPS = [
+    ("vit mlp pair 768<->3072", 128 * 266, 12),
+    ("joint mlp pair 768<->3072", 32 * 396, 12),
+    ("lang mlp pair 768<->3072", 8 * 512, 12),
 ]
 
-# attention classes: (name, B, S, heads, head_dim, masked, collect, count)
+# attention classes: (name, B, S, masked, collect, count). Chained via
+# q <- prev output (same [B,S,H,D] shape); distinct k/v per link.
 ATTENTION = [
-    ("vit attn 128x266", 128, 266, 12, 64, False, "none", 12),
-    ("joint attn 32x396", 32, 396, 12, 64, True, "none", 12),
-    ("lang attn 8x512", 8, 512, 12, 64, True, "colsum", 12),
+    ("vit attn 128x266", 128, 266, False, "none", 12),
+    ("joint attn 32x396", 32, 396, True, "none", 12),
+    ("lang attn 8x512", 8, 512, True, "colsum", 12),
 ]
 
-# elementwise classes: (name, M, H, count) — LN + residual add chain,
-# 2 per layer per tower. Bandwidth-bound; reported in GB/s.
+# LN + residual-add chain, 2 per layer per tower; chained via y -> x.
 ELEMENTWISE = [
-    ("vit ln+res [34048,768]", 128 * 266, 768, 24),
-    ("joint ln+res [12672,768]", 32 * 396, 768, 24),
-    ("lang ln+res [4096,768]", 8 * 512, 768, 24),
+    ("vit ln+res [34048,768]", 128 * 266, 24),
+    ("joint ln+res [12672,768]", 32 * 396, 24),
+    ("lang ln+res [4096,768]", 8 * 512, 24),
 ]
 
+H = 768
+FF = 3072
+HEADS, HEAD_DIM = 12, 64
+VOCAB = 50370
 PEAK_TF = 197e12
 PEAK_GBS = 819e9
+R_LO, R_HI = 1, 5
 
 
 def main():
@@ -77,120 +83,191 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     rng = np.random.default_rng(0)
 
+    global MATMULS, MLPS, ATTENTION, ELEMENTWISE, H, FF, VOCAB
+    global HEADS, HEAD_DIM
+    if _o.environ.get("VIT_OPS_TINY") == "1":  # CPU trace-smoke only
+        H, FF, VOCAB, HEADS, HEAD_DIM = 64, 128, 512, 2, 32
+        MATMULS = [(nm, 64, c) for nm, _, c in MATMULS]
+        MLPS = [(nm, 64, c) for nm, _, c in MLPS]
+        ATTENTION = [(nm, 2, 16, mk_, co, c)
+                     for nm, _, _, mk_, co, c in ATTENTION]
+        ELEMENTWISE = [(nm, 64, c) for nm, _, c in ELEMENTWISE]
+
     def timed(fn, *args):
         out = fn(*args)
         float(out)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.time()
             out = fn(*args)
             float(out)
             best = min(best, time.time() - t0)
-        return best / n
+        return best
 
-    def scan_fwd(f, serial_arg=1):
-        """f(*args) -> array; iterations serialized through args[serial_arg]."""
-        def loop(*args):
+    def scan_chain(step_fn, r, fb):
+        """One jitted launch: lax.scan of n iters; each body applies
+        ``step_fn(y, weights[i]) -> y`` r times with distinct weights.
+        fb: also take grads w.r.t. the input and the chain weights.
+        EVERY grad leaf's first element folds into the carry so no
+        link's dw can be dead-code-eliminated."""
+        def loop(x0, *weights):
             def body(acc, _):
-                a = list(args)
-                a[serial_arg] = (a[serial_arg]
-                                 * (1.0 + acc * 1e-30).astype(a[serial_arg].dtype))
-                y = f(*a)
+                x = x0 * (1.0 + acc * 1e-30).astype(x0.dtype)
+
+                def chain(x, ws):
+                    y = x
+                    for i in range(r):
+                        y = step_fn(y, ws[i])
+                    return y
+
+                if fb:
+                    def loss(x, ws):
+                        y = chain(x, ws)
+                        return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-20
+                    l, (gx, gws) = jax.value_and_grad(loss, argnums=(0, 1))(
+                        x, weights)
+                    extra = gx.reshape(-1)[0].astype(jnp.float32)
+                    for g in jax.tree_util.tree_leaves(gws):
+                        extra = extra + g.reshape(-1)[0].astype(jnp.float32)
+                    return acc + l + extra, ()
+                y = chain(x, weights)
                 return acc + y.reshape(-1)[0].astype(jnp.float32) * 1e-20, ()
             acc, _ = lax.scan(body, jnp.float32(0), None, length=n)
             return acc
         return jax.jit(loop)
 
-    def scan_fb(f, serial_arg=1, grad_args=(0, 1)):
-        def loop(*args):
-            def body(acc, _):
-                a = list(args)
-                a[serial_arg] = (a[serial_arg]
-                                 * (1.0 + acc * 1e-30).astype(a[serial_arg].dtype))
+    def slope(step_fn, x0, make_w, fb):
+        """Per-op seconds via the R-chain slope (launch const cancels)."""
+        ts = {}
+        for r in (R_LO, R_HI):
+            ws = tuple(make_w(i) for i in range(r))
+            ts[r] = timed(scan_chain(step_fn, r, fb), x0, *ws)
+        return (ts[R_HI] - ts[R_LO]) / ((R_HI - R_LO) * n)
 
-                def loss(*diff):
-                    full = list(a)
-                    for slot, val in zip(grad_args, diff):
-                        full[slot] = val
-                    y = f(*full)
-                    return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-20
-                l, gs = jax.value_and_grad(loss, argnums=tuple(
-                    range(len(grad_args))))(*[a[i] for i in grad_args])
-                extra = sum(g.reshape(-1)[0].astype(jnp.float32) for g in gs)
-                return acc + l + extra, ()
-            acc, _ = lax.scan(body, jnp.float32(0), None, length=n)
-            return acc
-        return jax.jit(loop)
-
-    print(f"scan-amortized ({n} iters/launch), flagship B8 shapes, bf16")
+    print(f"chain-slope (R={R_LO}->{R_HI}, {n} iters/launch), "
+          f"flagship B8 shapes, bf16")
     print(f"{'class':<28} {'GF(fwd)':>8} {'fwd ms':>8} {'TF/s':>6} "
           f"{'f+b ms':>8} {'TF/s':>6} {'xN':>3}")
     tot_fwd = tot_fb = gf_fwd = gf_fb = 0.0
 
-    def mm(x, w):
-        return jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
-
-    for name, m, k, nn_, cnt in MATMULS:
-        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-        w = jnp.asarray(rng.standard_normal((k, nn_)) * 0.02, jnp.bfloat16)
-        gflop = 2 * m * k * nn_ / 1e9
-        t_f = timed(scan_fwd(mm), x, w)
-        t_b = timed(scan_fb(mm), x, w)
-        print(f"{name:<28} {gflop:8.1f} {t_f * 1e3:8.2f} "
-              f"{gflop / 1e3 / t_f:6.1f} {t_b * 1e3:8.2f} "
-              f"{3 * gflop / 1e3 / t_b:6.1f} {cnt:3d}", flush=True)
+    def report(name, gflop, t_f, t_b, cnt, bwd_x=3.0):
+        nonlocal tot_fwd, tot_fb, gf_fwd, gf_fb
+        print(f"{name:<28} {gflop:8.1f} {t_f * 1e3:8.3f} "
+              f"{gflop / 1e3 / max(t_f, 1e-9):6.1f} {t_b * 1e3:8.3f} "
+              f"{bwd_x * gflop / 1e3 / max(t_b, 1e-9):6.1f} {cnt:3d}",
+              flush=True)
         tot_fwd += cnt * t_f
         tot_fb += cnt * t_b
         gf_fwd += cnt * gflop
-        gf_fb += cnt * 3 * gflop
+        gf_fb += cnt * bwd_x * gflop
 
-    for name, b, s, h, d, masked, collect, cnt in ATTENTION:
-        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
-        kk = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
-        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    def proj_step(y, w):
+        return jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
+
+    for name, m, cnt in MATMULS:
+        x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
+
+        def mk(i):
+            return jnp.asarray(
+                rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
+        gflop = 2 * m * H * H / 1e9
+        t_f = slope(proj_step, x, mk, fb=False)
+        t_b = slope(proj_step, x, mk, fb=True)
+        report(name, gflop, t_f, t_b, cnt)
+
+    def mlp_step(y, w):
+        w_in, w_out = w
+        hdn = jnp.dot(y, w_in, preferred_element_type=jnp.bfloat16)
+        hdn = jax.nn.gelu(hdn)
+        return jnp.dot(hdn, w_out, preferred_element_type=jnp.bfloat16)
+
+    for name, m, cnt in MLPS:
+        x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
+
+        def mk(i):
+            return (jnp.asarray(rng.standard_normal((H, FF)) * 0.02,
+                                jnp.bfloat16),
+                    jnp.asarray(rng.standard_normal((FF, H)) * 0.02,
+                                jnp.bfloat16))
+        gflop = 2 * 2 * m * H * FF / 1e9
+        t_f = slope(mlp_step, x, mk, fb=False)
+        t_b = slope(mlp_step, x, mk, fb=True)
+        report(name, gflop, t_f, t_b, cnt)
+
+    # masked-LM head: 32 joint rows x int(128*0.2) = 25 masked positions.
+    # Not chainable (768 -> vocab); R parallel copies w/ distinct weights.
+    m = 800
+    x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
+
+    def lm_step(y, w):
+        # not chainable (768 -> vocab), so each link re-consumes y; the
+        # full-vocab row-sum feeds the next link so no output column can
+        # be pruned from the matmul.
+        logits = jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
+        return y + (jnp.sum(logits.astype(jnp.float32), axis=1,
+                            keepdims=True) * 1e-20).astype(y.dtype)
+
+    def mk_lm(i):
+        return jnp.asarray(rng.standard_normal((H, VOCAB)) * 0.02,
+                           jnp.bfloat16)
+    gflop = 2 * m * H * VOCAB / 1e9
+    t_f = slope(lm_step, x, mk_lm, fb=False)
+    t_b = slope(lm_step, x, mk_lm, fb=True)
+    report("lm_head 800x768x50370", gflop, t_f, t_b, 1)
+
+    for name, b, s, masked, collect, cnt in ATTENTION:
+        q = jnp.asarray(rng.standard_normal((b, s, HEADS, HEAD_DIM)),
+                        jnp.bfloat16)
         mask = (jnp.asarray(rng.uniform(0, 1, (b, s, s)) < 0.9, jnp.float32)
                 if masked else None)
 
-        def attn(q, kk, v, mask=mask, collect=collect):
+        backend = ("xla" if _o.environ.get("VIT_OPS_TINY") == "1"
+                   else "pallas")
+
+        def attn_step(y, w, mask=mask, collect=collect, backend=backend):
+            kk, v = w
             # training config: pallas kernel, bf16 softmax (CLAUDE.md quirk)
-            out, extra = attention_core(q, kk, v, mask, collect=collect,
-                                        backend="pallas", softmax_fp32=False)
+            out, extra = attention_core(y, kk, v, mask, collect=collect,
+                                        backend=backend, softmax_fp32=False)
             if extra is not None:
-                out = out + extra.astype(out.dtype)[:, :, None, None] * 0
+                out = out + (extra.astype(out.dtype)[:, :, None, None]
+                             * jnp.bfloat16(1e-20))
             return out
-        gflop = 4 * b * h * s * s * d / 1e9
-        t_f = timed(scan_fwd(attn, serial_arg=0), q, kk, v)
-        t_b = timed(scan_fb(attn, serial_arg=0, grad_args=(0, 1, 2)),
-                    q, kk, v)
-        print(f"{name:<28} {gflop:8.1f} {t_f * 1e3:8.2f} "
-              f"{gflop / 1e3 / t_f:6.1f} {t_b * 1e3:8.2f} "
-              f"{3.5 * gflop / 1e3 / t_b:6.1f} {cnt:3d}", flush=True)
-        tot_fwd += cnt * t_f
-        tot_fb += cnt * t_b
-        gf_fwd += cnt * gflop
-        gf_fb += cnt * 3.5 * gflop
+
+        def mk_kv(i):
+            return (jnp.asarray(rng.standard_normal((b, s, HEADS, HEAD_DIM)),
+                                jnp.bfloat16),
+                    jnp.asarray(rng.standard_normal((b, s, HEADS, HEAD_DIM)),
+                                jnp.bfloat16))
+        gflop = 4 * b * HEADS * s * s * HEAD_DIM / 1e9
+        t_f = slope(attn_step, q, mk_kv, fb=False)
+        t_b = slope(attn_step, q, mk_kv, fb=True)
+        report(name, gflop, t_f, t_b, cnt, bwd_x=3.5)
 
     print(f"\n{'elementwise (GB/s vs ~819)':<28} {'GB(fwd)':>8} "
           f"{'fwd ms':>8} {'GB/s':>6} {'f+b ms':>8} {'GB/s':>6} {'xN':>3}")
     ew_fwd = ew_fb = 0.0
-    for name, m, hdim, cnt in ELEMENTWISE:
-        x = jnp.asarray(rng.standard_normal((m, hdim)), jnp.bfloat16)
-        r = jnp.asarray(rng.standard_normal((m, hdim)), jnp.bfloat16)
-        g = jnp.ones((hdim,), jnp.float32)
-        bvec = jnp.zeros((hdim,), jnp.float32)
+    for name, m, cnt in ELEMENTWISE:
+        x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
 
-        def lnres(x, r, g=g, bvec=bvec):
-            h32 = (x + r).astype(jnp.float32)
+        def ln_step(y, w):
+            r, g, bvec = w
+            h32 = (y + r).astype(jnp.float32)
             mu = jnp.mean(h32, -1, keepdims=True)
             var = jnp.mean(jnp.square(h32 - mu), -1, keepdims=True)
-            y = (h32 - mu) * lax.rsqrt(var + 1e-12) * g + bvec
-            return y.astype(jnp.bfloat16)
-        gbytes = 3 * m * hdim * 2 / 1e9  # read x, r; write y (bf16)
-        t_f = timed(scan_fwd(lnres, serial_arg=0), x, r)
-        t_b = timed(scan_fb(lnres, serial_arg=0, grad_args=(0, 1)), x, r)
-        print(f"{name:<28} {gbytes:8.2f} {t_f * 1e3:8.2f} "
-              f"{gbytes / t_f:6.0f} {t_b * 1e3:8.2f} "
-              f"{3 * gbytes / t_b:6.0f} {cnt:3d}", flush=True)
+            out = (h32 - mu) * lax.rsqrt(var + 1e-12) * g + bvec
+            return out.astype(jnp.bfloat16)
+
+        def mk_ln(i):
+            return (jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16),
+                    jnp.ones((H,), jnp.float32) * (1.0 + 0.01 * i),
+                    jnp.zeros((H,), jnp.float32))
+        gbytes = 3 * m * H * 2 / 1e9  # read x, r; write y (bf16)
+        t_f = slope(ln_step, x, mk_ln, fb=False)
+        t_b = slope(ln_step, x, mk_ln, fb=True)
+        print(f"{name:<28} {gbytes:8.2f} {t_f * 1e3:8.3f} "
+              f"{gbytes / max(t_f, 1e-9):6.0f} {t_b * 1e3:8.3f} "
+              f"{3 * gbytes / max(t_b, 1e-9):6.0f} {cnt:3d}", flush=True)
         ew_fwd += cnt * t_f
         ew_fb += cnt * t_b
 

@@ -47,6 +47,16 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (interpret tests)
 
 MASK_PENALTY = 1e10
 
+# Experiment knob (round 5): run the backward kernel's four gradient
+# dots with bf16 OPERANDS + f32 accumulation instead of f32 operands.
+# Numerically this is exactly what XLA's own backward of a bf16 forward
+# does (operands bf16, preferred_element_type f32); the f32-operand form
+# predates the round-5 per-op ledger, which showed the backward ~2x
+# further from the MXU ceiling than the forward. Default off until the
+# chip A/B (tools/bench_attn_variants.py / PERF.md round 5) records it.
+import os as _os
+BWD_BF16_DOTS = _os.environ.get("ATTN_BWD_BF16_DOTS", "0") == "1"
+
 _COLSUM_SUBLANES = 8  # replicated rows so the colsum block is (8, lanes)
 MAX_KERNEL_SEQ = 2048  # VMEM budget guard; longer sequences fall back to XLA
 
@@ -333,12 +343,25 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
             jax.nn.softmax(s, axis=-1).astype(jnp.float32)  # [q_blk, Sk]
         p = jnp.where(row_valid, p, 0.0)
 
-        gh32 = jnp.where(row_valid, gh.astype(jnp.float32), 0.0)
-        dv_h = jax.lax.dot_general(p, gh32, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(gh32, vh.astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        bf16_dots = BWD_BF16_DOTS and qq.dtype == jnp.bfloat16
+        if bf16_dots:
+            # bf16 operands + f32 accumulation: the same mixed precision
+            # XLA's own autodiff of a bf16 forward uses. The f32-operand
+            # form below predates the round-5 per-op ledger (backward ~2x
+            # further from the MXU ceiling than the forward).
+            gh_m = jnp.where(row_valid, gh, jnp.zeros_like(gh))
+            dv_h = jax.lax.dot_general(p.astype(qq.dtype), gh_m,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(gh_m, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            gh32 = jnp.where(row_valid, gh.astype(jnp.float32), 0.0)
+            dv_h = jax.lax.dot_general(p, gh32, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(gh32, vh.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         if use_gcol:
             # colsum = sum_q p / H over real rows -> dp += gcol/H there
             dp = dp + jnp.where(row_valid, gcol / num_heads, 0.0)
@@ -348,13 +371,21 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, gcol_ref,
         ds = ds * scale
         # overhang q rows: ds is 0 there, but q itself is undefined and
         # 0 * undefined = NaN under the contraction — mask q as well
-        qh32 = jnp.where(row_valid, qh.astype(jnp.float32), 0.0)
-        dq_h = jax.lax.dot_general(ds, kh.astype(jnp.float32),
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dk_h = jax.lax.dot_general(ds, qh32,
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        if bf16_dots:
+            ds_c = ds.astype(qq.dtype)
+            qh_m = jnp.where(row_valid, qh, jnp.zeros_like(qh))
+            dq_h = jax.lax.dot_general(ds_c, kh, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(ds_c, qh_m, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        else:
+            qh32 = jnp.where(row_valid, qh.astype(jnp.float32), 0.0)
+            dq_h = jax.lax.dot_general(ds, kh.astype(jnp.float32),
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(ds, qh32,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
         # heads own disjoint column slices of the fp32 output blocks;
         # write/accumulate there directly (no head-concat temps in VMEM)
         dq_ref[0, :, sl] = dq_h

@@ -112,7 +112,12 @@ def main():
         link's dw can be dead-code-eliminated."""
         def loop(x0, *weights):
             def body(acc, _):
-                x = x0 * (1.0 + acc * 1e-30).astype(x0.dtype)
+                # additive serialization: a multiplicative scalar commutes
+                # through the LINEAR proj/lm chains (|c.z|=|c||z| too), so
+                # LICM could hoist the chain out of the scan and inflate
+                # those rows; an additive perturbation can't be
+                # distributed out of a dot.
+                x = x0 + (acc * 1e-30).astype(x0.dtype)
 
                 def chain(x, ws):
                     y = x
@@ -143,6 +148,17 @@ def main():
             ws = tuple(make_w(i) for i in range(r))
             ts[r] = timed(scan_chain(step_fn, r, fb), x0, *ws)
         return (ts[R_HI] - ts[R_LO]) / ((R_HI - R_LO) * n)
+
+    only = _o.environ.get("VIT_OPS_CLASSES")  # substring filter, e.g. "proj"
+
+    def want(name):
+        return only is None or any(s in name for s in only.split(","))
+
+    MATMULS[:] = [c for c in MATMULS if want(c[0])]
+    MLPS[:] = [c for c in MLPS if want(c[0])]
+    ATTENTION[:] = [c for c in ATTENTION if want(c[0])]
+    ELEMENTWISE[:] = [c for c in ELEMENTWISE if want(c[0])]
+    run_lm = want("lm_head")
 
     print(f"chain-slope (R={R_LO}->{R_HI}, {n} iters/launch), "
           f"flagship B8 shapes, bf16")
@@ -194,26 +210,26 @@ def main():
         t_b = slope(mlp_step, x, mk, fb=True)
         report(name, gflop, t_f, t_b, cnt)
 
-    # masked-LM head: 32 joint rows x int(128*0.2) = 25 masked positions.
-    # Not chainable (768 -> vocab); R parallel copies w/ distinct weights.
-    m = 800
-    x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
+    if run_lm:
+        # masked-LM head: 32 joint rows x int(128*0.2) = 25 masked
+        # positions. Not chainable (768 -> vocab), so each link
+        # re-consumes y; the full-vocab row-sum feeds the next link so no
+        # output column can be pruned from the matmul.
+        m = 800
+        x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
 
-    def lm_step(y, w):
-        # not chainable (768 -> vocab), so each link re-consumes y; the
-        # full-vocab row-sum feeds the next link so no output column can
-        # be pruned from the matmul.
-        logits = jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
-        return y + (jnp.sum(logits.astype(jnp.float32), axis=1,
-                            keepdims=True) * 1e-20).astype(y.dtype)
+        def lm_step(y, w):
+            logits = jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
+            return y + (jnp.sum(logits.astype(jnp.float32), axis=1,
+                                keepdims=True) * 1e-20).astype(y.dtype)
 
-    def mk_lm(i):
-        return jnp.asarray(rng.standard_normal((H, VOCAB)) * 0.02,
-                           jnp.bfloat16)
-    gflop = 2 * m * H * VOCAB / 1e9
-    t_f = slope(lm_step, x, mk_lm, fb=False)
-    t_b = slope(lm_step, x, mk_lm, fb=True)
-    report("lm_head 800x768x50370", gflop, t_f, t_b, 1)
+        def mk_lm(i):
+            return jnp.asarray(rng.standard_normal((H, VOCAB)) * 0.02,
+                               jnp.bfloat16)
+        gflop = 2 * m * H * VOCAB / 1e9
+        t_f = slope(lm_step, x, mk_lm, fb=False)
+        t_b = slope(lm_step, x, mk_lm, fb=True)
+        report("lm_head 800x768x50370", gflop, t_f, t_b, 1)
 
     for name, b, s, masked, collect, cnt in ATTENTION:
         q = jnp.asarray(rng.standard_normal((b, s, HEADS, HEAD_DIM)),

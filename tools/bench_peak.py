@@ -65,6 +65,30 @@ def main():
         t_hi = timed(scan_of(step, n_hi), *args)
         return (t_hi - t_lo) / (n_hi - n_lo)
 
+    # R-chain slope: the n-slope above still carries the per-ITERATION
+    # serialization stall (scalar carry readout -> broadcast add) in its
+    # per-op time; chaining R ops inside the body and taking the R-slope
+    # cancels the stall too. Links are abs(dot(.)) so no algebraic
+    # rewrite can elide work (probe_envelope session, 2026-08-20:
+    # 192.8 TF/s bf16 / 192.2 f32acc at 4096^3 vs 187.3 by n-slope).
+    def rslope(mk_step, x, mk_w, n, r_lo=1, r_hi=5):
+        def chain(r):
+            def loop(x0, *ws):
+                def body(acc, _):
+                    y = x0 + (acc * 1e-30).astype(x0.dtype)
+                    for w_ in ws:
+                        y = mk_step(y, w_)
+                    return (acc + y.reshape(-1)[0].astype(jnp.float32)
+                            * 1e-20), ()
+                acc, _ = lax.scan(body, jnp.float32(0), None, length=n)
+                return acc
+            return jax.jit(loop)
+        ts = {}
+        for r in (r_lo, r_hi):
+            ws = tuple(mk_w(i) for i in range(r))
+            ts[r] = timed(chain(r), x, *ws)
+        return (ts[r_hi] - ts[r_lo]) / ((r_hi - r_lo) * n)
+
     # --- MXU peak: big square bf16 matmul, abs() breaks linearity so no
     # algebraic shortcut can skip work across iterations.
     m = 4096
@@ -75,8 +99,14 @@ def main():
         return jnp.abs(jnp.dot(x, w, preferred_element_type=jnp.bfloat16))
     gf = 2 * m * m * m / 1e9
     t = nslope(mm, x, w)
-    print(f"matmul {m}^3 bf16: {t * 1e3:7.3f} ms/op -> "
-          f"{gf / 1e3 / t:6.1f} TF/s", flush=True)
+    print(f"matmul {m}^3 bf16 (n-slope, incl. iter stall): "
+          f"{t * 1e3:7.3f} ms/op -> {gf / 1e3 / t:6.1f} TF/s", flush=True)
+
+    def mk_w(i):
+        return jnp.asarray(rng.standard_normal((m, m)) * 0.02, jnp.bfloat16)
+    t = rslope(mm, x, mk_w, n=40)
+    print(f"matmul {m}^3 bf16 (R-chain, steady-state): "
+          f"{t * 1e3:7.3f} ms/op -> {gf / 1e3 / t:6.1f} TF/s", flush=True)
 
     # fp32-accumulate variant (training uses preferred_element_type f32
     # in places; some parts halve bf16 throughput for f32 accum)

@@ -104,7 +104,7 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    def scan_chain(step_fn, r, fb):
+    def scan_chain(step_fn, r, fb, n_loc):
         """One jitted launch: lax.scan of n iters; each body applies
         ``step_fn(y, weights[i]) -> y`` r times with distinct weights.
         fb: also take grads w.r.t. the input and the chain weights.
@@ -137,17 +137,28 @@ def main():
                     return acc + l + extra, ()
                 y = chain(x, weights)
                 return acc + y.reshape(-1)[0].astype(jnp.float32) * 1e-20, ()
-            acc, _ = lax.scan(body, jnp.float32(0), None, length=n)
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=n_loc)
             return acc
         return jax.jit(loop)
 
-    def slope(step_fn, x0, make_w, fb):
+    # v2.1: the slope cancels a launch constant C only when both points
+    # sit in the additive regime t = C + compute; for small classes the
+    # tunnel OVERLAPS dispatch with device work (t ~ max(C, compute)),
+    # which under-counts time and reported >peak TF/s (v2 run, git
+    # history). Fix: scale the per-launch iteration count per class so
+    # the R_LO point alone carries >= VIT_OPS_TARGET_MS of compute at an
+    # OPTIMISTIC speed estimate (overestimating speed only inflates n).
+    target_s = float(_o.environ.get("VIT_OPS_TARGET_MS", "150")) / 1e3
+
+    def slope(step_fn, x0, make_w, fb, t_est_s):
         """Per-op seconds via the R-chain slope (launch const cancels)."""
+        n_loc = max(n, min(20000, int(np.ceil(
+            target_s / (R_LO * max(t_est_s, 1e-7))))))
         ts = {}
         for r in (R_LO, R_HI):
             ws = tuple(make_w(i) for i in range(r))
-            ts[r] = timed(scan_chain(step_fn, r, fb), x0, *ws)
-        return (ts[R_HI] - ts[R_LO]) / ((R_HI - R_LO) * n)
+            ts[r] = timed(scan_chain(step_fn, r, fb, n_loc), x0, *ws)
+        return (ts[R_HI] - ts[R_LO]) / ((R_HI - R_LO) * n_loc)
 
     only = _o.environ.get("VIT_OPS_CLASSES")  # substring filter, e.g. "proj"
 
@@ -177,8 +188,15 @@ def main():
         gf_fwd += cnt * gflop
         gf_fb += cnt * bwd_x * gflop
 
+    # v2.2: abs() between chain links. The additive serialization was
+    # not enough: a chip A/B (probe_envelope, git history) measured the
+    # LINEAR proj chain at 254 TF/s vs 194 TF/s with abs links — above
+    # the 197 TF/s spec peak, i.e. TPU-side XLA algebraically elides
+    # part of a purely linear chain (dot reassociation / distributing
+    # the broadcast carry — either rewrite is killed by a pointwise
+    # nonlinearity, and abs fuses into the dot epilogue for free).
     def proj_step(y, w):
-        return jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
+        return jnp.abs(jnp.dot(y, w, preferred_element_type=jnp.bfloat16))
 
     for name, m, cnt in MATMULS:
         x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
@@ -187,15 +205,18 @@ def main():
             return jnp.asarray(
                 rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
         gflop = 2 * m * H * H / 1e9
-        t_f = slope(proj_step, x, mk, fb=False)
-        t_b = slope(proj_step, x, mk, fb=True)
+        t_f = slope(proj_step, x, mk, fb=False, t_est_s=gflop / 250e3)
+        t_b = slope(proj_step, x, mk, fb=True, t_est_s=3 * gflop / 250e3)
         report(name, gflop, t_f, t_b, cnt)
 
     def mlp_step(y, w):
         w_in, w_out = w
         hdn = jnp.dot(y, w_in, preferred_element_type=jnp.bfloat16)
         hdn = jax.nn.gelu(hdn)
-        return jnp.dot(hdn, w_out, preferred_element_type=jnp.bfloat16)
+        # abs at the pair boundary: gelu already breaks linearity inside
+        # the pair, but consecutive pairs meet dot-to-dot (see v2.2 note)
+        return jnp.abs(jnp.dot(hdn, w_out,
+                               preferred_element_type=jnp.bfloat16))
 
     for name, m, cnt in MLPS:
         x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
@@ -206,8 +227,8 @@ def main():
                     jnp.asarray(rng.standard_normal((FF, H)) * 0.02,
                                 jnp.bfloat16))
         gflop = 2 * 2 * m * H * FF / 1e9
-        t_f = slope(mlp_step, x, mk, fb=False)
-        t_b = slope(mlp_step, x, mk, fb=True)
+        t_f = slope(mlp_step, x, mk, fb=False, t_est_s=gflop / 250e3)
+        t_b = slope(mlp_step, x, mk, fb=True, t_est_s=3 * gflop / 250e3)
         report(name, gflop, t_f, t_b, cnt)
 
     if run_lm:
@@ -220,15 +241,19 @@ def main():
 
         def lm_step(y, w):
             logits = jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
-            return y + (jnp.sum(logits.astype(jnp.float32), axis=1,
-                                keepdims=True) * 1e-20).astype(y.dtype)
+            # abs: sum(dot(y, W)) is rewritable to dot(y, rowsum(W)) —
+            # abs makes every logit column load-bearing (v2.2 note) and
+            # fuses into the dot epilogue.
+            return y + (jnp.sum(jnp.abs(logits).astype(jnp.float32),
+                                axis=1, keepdims=True)
+                        * 1e-20).astype(y.dtype)
 
         def mk_lm(i):
             return jnp.asarray(rng.standard_normal((H, VOCAB)) * 0.02,
                                jnp.bfloat16)
         gflop = 2 * m * H * VOCAB / 1e9
-        t_f = slope(lm_step, x, mk_lm, fb=False)
-        t_b = slope(lm_step, x, mk_lm, fb=True)
+        t_f = slope(lm_step, x, mk_lm, fb=False, t_est_s=gflop / 250e3)
+        t_b = slope(lm_step, x, mk_lm, fb=True, t_est_s=3 * gflop / 250e3)
         report("lm_head 800x768x50370", gflop, t_f, t_b, 1)
 
     for name, b, s, masked, collect, cnt in ATTENTION:
@@ -256,12 +281,13 @@ def main():
                     jnp.asarray(rng.standard_normal((b, s, HEADS, HEAD_DIM)),
                                 jnp.bfloat16))
         gflop = 4 * b * HEADS * s * s * HEAD_DIM / 1e9
-        t_f = slope(attn_step, q, mk_kv, fb=False)
-        t_b = slope(attn_step, q, mk_kv, fb=True)
+        t_f = slope(attn_step, q, mk_kv, fb=False, t_est_s=gflop / 60e3)
+        t_b = slope(attn_step, q, mk_kv, fb=True, t_est_s=3.5 * gflop / 60e3)
         report(name, gflop, t_f, t_b, cnt, bwd_x=3.5)
 
     print(f"\n{'elementwise (GB/s vs ~819)':<28} {'GB(fwd)':>8} "
-          f"{'fwd ms':>8} {'GB/s':>6} {'f+b ms':>8} {'GB/s':>6} {'xN':>3}")
+          f"{'fwd ms':>8} {'GB/s':>6} {'f+b ms':>8} {'GB/s':>6} {'xN':>3}"
+          f"   (f+b col = VMEM-fused chain, lower bound on time)")
     ew_fwd = ew_fb = 0.0
     for name, m, cnt in ELEMENTWISE:
         x = jnp.asarray(rng.standard_normal((m, H)), jnp.bfloat16)
@@ -279,8 +305,28 @@ def main():
                     jnp.ones((H,), jnp.float32) * (1.0 + 0.01 * i),
                     jnp.zeros((H,), jnp.float32))
         gbytes = 3 * m * H * 2 / 1e9  # read x, r; write y (bf16)
-        t_f = slope(ln_step, x, mk_ln, fb=False)
-        t_b = slope(ln_step, x, mk_ln, fb=True)
+        # v2.2 fwd: R-chained ln+res links fuse VMEM-resident (the v2 run
+        # read 1.6-2.8 TB/s — above HBM peak), so the fwd number instead
+        # comes from an n-slope whose carry is the FULL array: each scan
+        # iteration must read the carry + r from HBM and write the new
+        # carry, i.e. exactly the 3-pass traffic gbytes accounts for.
+        # f+b keeps the R-chain and is labeled a VMEM-fused bound
+        # (reverse-diff of an n-long serial chain stores n carries).
+        w_ln = mk_ln(0)
+
+        def ew_loop(length):
+            def loop(y0, r_in):
+                def body(y, _):
+                    return ln_step(y, (r_in,) + w_ln[1:]), ()
+                y, _ = lax.scan(body, y0, None, length=length)
+                return y.reshape(-1)[0].astype(jnp.float32)
+            return jax.jit(loop)
+
+        n_lo = max(8, int(np.ceil(target_s / max(gbytes / 900, 1e-7))))
+        t_lo = timed(ew_loop(n_lo), x, w_ln[0])
+        t_hi = timed(ew_loop(3 * n_lo), x, w_ln[0])
+        t_f = (t_hi - t_lo) / (2 * n_lo)
+        t_b = slope(ln_step, x, mk_ln, fb=True, t_est_s=3 * gbytes / 1600)
         print(f"{name:<28} {gbytes:8.2f} {t_f * 1e3:8.3f} "
               f"{gbytes / max(t_f, 1e-9):6.0f} {t_b * 1e3:8.3f} "
               f"{3 * gbytes / max(t_b, 1e-9):6.0f} {cnt:3d}", flush=True)

@@ -131,10 +131,18 @@ def main():
                         return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-20
                     l, (gx, gws) = jax.value_and_grad(loss, argnums=(0, 1))(
                         x, weights)
-                    extra = gx.reshape(-1)[0].astype(jnp.float32)
+                    # v2.2: consume sum(|g|) per leaf, NOT g[0]. A sliced
+                    # readout lets slice(dot)->dot(slice) collapse every
+                    # backward dW matmul to a vector product (measured:
+                    # proj f+b read 250-278 TF/s, above peak); any LINEAR
+                    # functional of a dot output is collapsible, abs is
+                    # not. The extra |.|-sum passes are elementwise over
+                    # the grads and fuse into their producing dots.
+                    extra = jnp.sum(jnp.abs(gx.astype(jnp.float32)))
                     for g in jax.tree_util.tree_leaves(gws):
-                        extra = extra + g.reshape(-1)[0].astype(jnp.float32)
-                    return acc + l + extra, ()
+                        extra = extra + jnp.sum(jnp.abs(
+                            g.astype(jnp.float32)))
+                    return acc + l + extra * 1e-10, ()
                 y = chain(x, weights)
                 return acc + y.reshape(-1)[0].astype(jnp.float32) * 1e-20, ()
             acc, _ = lax.scan(body, jnp.float32(0), None, length=n_loc)

@@ -121,8 +121,13 @@ def main():
                     y = f(x, wt * (1.0 + acc * 1e-30).astype(wt.dtype))
                     return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-20
                 l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, wt)
-                return acc + l + gx.reshape(-1)[0].astype(jnp.float32) \
-                    + gw.reshape(-1)[0].astype(jnp.float32), ()
+                # consume sum(|g|), not g[0]: a sliced readout lets
+                # slice(dot/conv) rewrites collapse backward matmuls to
+                # vector products (bench_vit_ops v2.2 lesson, CLAUDE.md);
+                # a nonlinear functional forces the full gradients.
+                return acc + l + (jnp.sum(jnp.abs(gx.astype(jnp.float32)))
+                                  + jnp.sum(jnp.abs(gw.astype(jnp.float32)))
+                                  ) * 1e-10, ()
             acc, _ = lax.scan(one, jnp.float32(0), None, length=n)
             return acc
 
